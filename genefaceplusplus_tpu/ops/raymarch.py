@@ -1,0 +1,159 @@
+"""Static-shape occupancy-guided ray marching.
+
+This is the TPU-native re-design of the reference CUDA marcher
+(/root/reference/modules/radnerfs/raymarching/src/raymarching.cu):
+
+  * kernel_near_far_from_aabb (:92-160)  -> vectorised slab test
+  * kernel_march_rays_train (:353-520) / kernel_march_rays (:828-940)
+    -> fixed-K lattice stepping + occupancy masking + prefix compaction
+
+Equivalence argument: with the GeneFace++ config (bound=1 -> cascade=1,
+grid_size H=128, dt_gamma=1/256, near/far in [0.05, ~1.2]), the CUDA step
+size clamp(t*dt_gamma, dt_min, dt_max) with
+dt_min = dt_max = 2*sqrt(3)/H is CONSTANT (t*dt_gamma < dt_min for all
+reachable t), and the empty-voxel skip loop `do t += dt while (t < tt)`
+advances on the SAME fixed lattice t0 + m*dt. Therefore the set of sample
+positions produced by the reference marcher equals {t0 + m*dt | m < K,
+voxel(t) occupied, t < far} — which is exactly what this module computes
+data-parallel with static shapes: K lattice points per ray, an occupancy
+gather, and a sort-based compaction of the first S occupied points.
+No atomics, no dynamic shapes, no divergence.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+SQRT3 = math.sqrt(3.0)
+
+
+def near_far_from_aabb(
+    rays_o: jnp.ndarray,
+    rays_d: jnp.ndarray,
+    aabb: jnp.ndarray,
+    min_near: float = 0.05,
+):
+    """Ray/AABB slab test. rays_o/d: [..., 3]; aabb: [6] (xyzmin|xyzmax).
+
+    Returns (nears, fars) [...]; rays that miss get far <= near (zero span).
+    """
+    inv_d = 1.0 / rays_d
+    t0 = (aabb[:3] - rays_o) * inv_d
+    t1 = (aabb[3:] - rays_o) * inv_d
+    tmin = jnp.minimum(t0, t1).max(axis=-1)
+    tmax = jnp.maximum(t0, t1).min(axis=-1)
+    near = jnp.maximum(tmin, min_near)
+    far = jnp.maximum(tmax, near)  # miss -> far == near -> zero samples
+    return near, far
+
+
+class MarchResult(NamedTuple):
+    """Compacted sample set, all static shapes.
+
+    xyzs:   [R, S, 3] sample positions (clamped to bound)
+    deltas: [R, S]    dt of each sample
+    ts:     [R, S]    t AFTER the step (reference deltas[:,1], used for depth)
+    mask:   [R, S]    bool, sample is real (occupied & inside [near, far))
+    """
+
+    xyzs: jnp.ndarray
+    deltas: jnp.ndarray
+    ts: jnp.ndarray
+    mask: jnp.ndarray
+
+
+def step_size(grid_size: int, cascade: int, max_steps: int):
+    """CUDA dt bounds (raymarching.cu:386-387)."""
+    dt_max = 2.0 * SQRT3 * (1 << (cascade - 1)) / grid_size
+    dt_min = min(dt_max, 2.0 * SQRT3 / max_steps)
+    return dt_min, dt_max
+
+
+def occupancy_lookup(occupancy: jnp.ndarray, xyz: jnp.ndarray, bound: float) -> jnp.ndarray:
+    """Gather occupancy bits for positions.
+
+    occupancy: [H, H, H] bool (cascade-0 spatial grid); xyz: [..., 3] in
+    [-bound, bound]. Voxel mapping mirrors raymarching.cu:414-417:
+    n = clamp(0.5*(x/bound+1)*H, 0, H-1).
+    """
+    H = occupancy.shape[0]
+    n = jnp.clip(0.5 * (xyz / bound + 1.0) * H, 0.0, H - 1).astype(jnp.int32)
+    flat = occupancy.reshape(-1)
+    idx = (n[..., 0] * H + n[..., 1]) * H + n[..., 2]
+    return jnp.take(flat, idx)
+
+
+def march_rays(
+    rays_o: jnp.ndarray,
+    rays_d: jnp.ndarray,
+    nears: jnp.ndarray,
+    fars: jnp.ndarray,
+    occupancy: jnp.ndarray,
+    bound: float = 1.0,
+    dt_gamma: float = 0.0,
+    max_steps: int = 16,
+    num_coarse: int = 48,
+    num_samples: int = 16,
+    noise: Optional[jnp.ndarray] = None,
+) -> MarchResult:
+    """March R rays through the occupancy grid; return first `num_samples`
+    occupied lattice samples per ray.
+
+    Args:
+      rays_o, rays_d: [R, 3].
+      nears, fars: [R].
+      occupancy: [H, H, H] bool spatial occupancy (cascade 0).
+      noise: optional [R] in [0,1) perturbation of t0 (training), else None.
+      num_coarse: K lattice points examined per ray (static).
+      num_samples: S compacted samples per ray (static; == reference
+        max_steps budget of occupied samples).
+    """
+    R = rays_o.shape[0]
+    H = occupancy.shape[0]
+    dt_min, dt_max = step_size(H, 1, max_steps)
+
+    t0 = nears
+    if noise is not None:
+        t0 = t0 + jnp.clip(t0 * dt_gamma, dt_min, dt_max) * noise
+
+    # lattice ts: t_{i+1} = t_i + clamp(t_i*gamma, dt_min, dt_max); with the
+    # production config the clamp is constant so this is t0 + i*dt_min, but we
+    # keep the general recurrence (static unroll over K).
+    ts = [t0]
+    dts = []
+    t = t0
+    for _ in range(num_coarse):
+        dt = jnp.clip(t * dt_gamma, dt_min, dt_max)
+        dts.append(dt)
+        t = t + dt
+        ts.append(t)
+    t_start = jnp.stack(ts[:-1], axis=-1)  # [R, K] t at sample
+    t_end = jnp.stack(ts[1:], axis=-1)  # [R, K] t after step (depth accum)
+    dt_all = jnp.stack(dts, axis=-1)  # [R, K]
+
+    xyz = rays_o[:, None, :] + t_start[..., None] * rays_d[:, None, :]
+    xyz = jnp.clip(xyz, -bound, bound)
+
+    occ = occupancy_lookup(occupancy, xyz, bound)  # [R, K]
+    valid = occ & (t_start < fars[:, None])
+
+    # stable compaction: sort keys = (step index if valid else K) ascending,
+    # take the first S -> indices of the first S occupied lattice points.
+    K = num_coarse
+    keys = jnp.where(valid, jnp.arange(K, dtype=jnp.int32)[None, :], K)
+    order = jnp.sort(keys, axis=-1)[:, :num_samples]  # [R, S]
+    sel_mask = order < K
+    sel = jnp.clip(order, 0, K - 1)
+
+    take = lambda a: jnp.take_along_axis(a, sel, axis=-1)
+    xyz_s = jnp.take_along_axis(xyz, sel[..., None], axis=1)
+    return MarchResult(
+        xyzs=xyz_s,
+        deltas=take(dt_all),
+        ts=take(t_end),
+        mask=sel_mask,
+    )

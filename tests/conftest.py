@@ -1,0 +1,19 @@
+"""Test config: force a virtual 8-device CPU mesh so multi-chip sharding
+paths are exercised (fast, deterministic) without TPU hardware.
+
+Note: this container boots an `axon` TPU PJRT plugin from sitecustomize
+BEFORE conftest runs, so env vars are too late — use jax.config instead.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", False)
+
+assert jax.default_backend() == "cpu", jax.default_backend()

@@ -1,0 +1,60 @@
+import os
+
+import pytest
+
+from genefaceplusplus_tpu.config import Config, load_config, save_config, set_hparams
+from genefaceplusplus_tpu.config.config import apply_overrides
+
+
+def test_base_config_inheritance(tmp_path):
+    base = tmp_path / "base.yaml"
+    base.write_text("a: 1\nb: {x: 1, y: 2}\nc: base\n")
+    child = tmp_path / "child.yaml"
+    child.write_text(f"base_config: {base}\nb: {{y: 3}}\nd: child\n")
+    cfg = load_config(str(child))
+    assert cfg["a"] == 1
+    assert cfg["b"] == {"x": 1, "y": 3}
+    assert cfg["c"] == "base"
+    assert cfg["d"] == "child"
+
+
+def test_base_config_cycle_raises(tmp_path):
+    a = tmp_path / "a.yaml"
+    b = tmp_path / "b.yaml"
+    a.write_text(f"base_config: {b}\n")
+    b.write_text(f"base_config: {a}\n")
+    with pytest.raises(ValueError):
+        load_config(str(a))
+
+
+def test_dotted_overrides():
+    cfg = {"lr": 0.1, "model": {"dim": 8}}
+    apply_overrides(cfg, "lr=0.2,model.dim=16,new.flag=true,lst=[1,2,3],name=hello")
+    assert cfg["lr"] == 0.2
+    assert cfg["model"]["dim"] == 16
+    assert cfg["new"]["flag"] is True
+    assert cfg["lst"] == [1, 2, 3]
+    assert cfg["name"] == "hello"
+
+
+def test_workdir_roundtrip(tmp_path):
+    cfg = Config({"lr": 0.001, "video_id": "May"})
+    save_config(cfg, str(tmp_path))
+    restored = set_hparams(work_dir=str(tmp_path))
+    assert restored["lr"] == 0.001
+    assert restored.video_id == "May"
+    # reset=True ignores saved config
+    fresh = set_hparams(work_dir=str(tmp_path), reset=True, hparams_str="lr=5")
+    assert fresh["lr"] == 5
+    assert "video_id" not in fresh
+
+
+def test_saved_config_is_overridden_by_explicit_yaml(tmp_path):
+    work = tmp_path / "work"
+    os.makedirs(work)
+    save_config({"lr": 1, "k": "old"}, str(work))
+    new_yaml = tmp_path / "new.yaml"
+    new_yaml.write_text("lr: 2\n")
+    cfg = set_hparams(config=str(new_yaml), work_dir=str(work))
+    assert cfg["lr"] == 2
+    assert cfg["k"] == "old"
