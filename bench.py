@@ -1,0 +1,78 @@
+"""Benchmark: head-NeRF render throughput on the attached TPU chip.
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+Baseline: the reference claims ~45 fps on an A100/V100-class GPU for the
+raw NeRF render at 256x256 with fp16 autocast (genefacepp_infer.py:434),
+shipping 25 fps video (BASELINE.md). vs_baseline is measured_fps / 25.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from genefaceplusplus_tpu.models.radnerf import RADNeRF, RADNeRFConfig
+    from genefaceplusplus_tpu.models.renderer import RenderOptions, render_rays
+    from genefaceplusplus_tpu.utils.rays import get_rays
+
+    # production-shaped head model (May config: 128-dim MLPs, 16-level grids)
+    cfg = RADNeRFConfig()
+    model = RADNeRF(cfg)
+    key = jax.random.PRNGKey(0)
+    cond = jax.random.normal(key, (cfg.smo_win_size, cfg.cond_win_size, cfg.cond_in_dim))
+    params = model.init(key, jnp.zeros((8, 3)), jnp.ones((8, 3)), cond)
+    params = jax.tree.map(lambda p: p.astype(jnp.bfloat16) if p.dtype == jnp.float32 else p, params)
+
+    H = W = 256  # raw NeRF resolution of the SR pipeline (BASELINE.md)
+    pose = np.eye(4, dtype=np.float32)
+    pose[2, 3] = -2.5
+    rays = get_rays(jnp.asarray(pose[None]), (2.0 * W, 2.0 * H, W / 2, H / 2), H, W)
+    rays_o, rays_d = rays["rays_o"][0], rays["rays_d"][0]
+
+    # realistic occupancy: a centred blob ~30% fill (head-ish)
+    g = cfg.grid_size
+    xx, yy, zz = np.meshgrid(*([np.linspace(-1, 1, g)] * 3), indexing="ij")
+    occupancy = jnp.asarray((xx**2 + (2 * yy) ** 2 + zz**2) < 0.6)
+
+    opts = RenderOptions(num_coarse=48, num_samples=16, T_thresh=1e-2)
+
+    @jax.jit
+    def render_frame(params, rays_o, rays_d, cond, occupancy):
+        def field_fn(xyz, dirs):
+            sig, rgb, amb = model.apply(
+                params, xyz.astype(jnp.bfloat16), dirs.astype(jnp.bfloat16), cond.astype(jnp.bfloat16)
+            )
+            return sig.astype(jnp.float32), rgb.astype(jnp.float32), amb.astype(jnp.float32)
+
+        out = render_rays(
+            field_fn, rays_o, rays_d, occupancy,
+            bound=cfg.bound, min_near=cfg.min_near, bg_color=1.0, opts=opts,
+        )
+        return out.rgb_map
+
+    # warmup/compile
+    render_frame(params, rays_o, rays_d, cond, occupancy).block_until_ready()
+
+    n_frames = 20
+    t0 = time.perf_counter()
+    for _ in range(n_frames):
+        img = render_frame(params, rays_o, rays_d, cond, occupancy)
+    img.block_until_ready()
+    dt = time.perf_counter() - t0
+    fps = n_frames / dt
+
+    print(json.dumps({
+        "metric": "head_nerf_render_fps_256",
+        "value": round(fps, 2),
+        "unit": "fps",
+        "vs_baseline": round(fps / 25.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
