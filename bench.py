@@ -58,11 +58,15 @@ def main():
     # warmup/compile
     render_frame(params, rays_o, rays_d, cond, occupancy).block_until_ready()
 
+    # NOTE: vary cond per frame (as real driving does) — the axon remote
+    # runtime memoizes identical (executable, args) calls, and per-frame
+    # conds are the realistic workload anyway.
     n_frames = 20
+    conds = [cond + 0.01 * i for i in range(n_frames)]
+    jax.block_until_ready(conds)
     t0 = time.perf_counter()
-    for _ in range(n_frames):
-        img = render_frame(params, rays_o, rays_d, cond, occupancy)
-    img.block_until_ready()
+    imgs = [render_frame(params, rays_o, rays_d, c, occupancy) for c in conds]
+    jax.block_until_ready(imgs)
     dt = time.perf_counter() - t0
     fps = n_frames / dt
 

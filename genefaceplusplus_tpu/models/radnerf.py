@@ -24,6 +24,7 @@ import jax.numpy as jnp
 
 from genefaceplusplus_tpu.models.cond_encoder import MLP, AudioAttNet, AudioNet
 from genefaceplusplus_tpu.models.grid_modules import GridEncoder
+from genefaceplusplus_tpu.ops.fourier_encoder import FourierEncoder
 from genefaceplusplus_tpu.ops.grid_encoder import GridSpec
 from genefaceplusplus_tpu.ops.sh_encoder import sh_encode
 from genefaceplusplus_tpu.ops.trunc_exp import trunc_exp
@@ -45,11 +46,16 @@ class RADNeRFConfig:
     grid_size: int = 128
     min_near: float = 0.05
     density_thresh: float = 10.0
-    # grids
-    grid_type: str = "tiledgrid"  # tiledgrid | hashgrid
+    # spatial encoder: 'fourier' (TPU-native default; MXU-only, no gathers)
+    # or 'tiledgrid'/'hashgrid' (reference-parity path; gather-bound on TPU)
+    grid_type: str = "fourier"
     grid_interpolation_type: str = "linear"
     log2_hashmap_size: int = 16
     desired_resolution: int = 2048
+    fourier_pos_features: int = 128
+    fourier_pos_max_scale: float = 128.0
+    fourier_amb_features: int = 64
+    fourier_amb_max_scale: float = 64.0
     # field MLPs
     num_layers_ambient: int = 3
     hidden_dim_ambient: int = 128
@@ -88,7 +94,7 @@ class RADNeRFConfig:
             grid_size=get("grid_size", 128),
             min_near=get("min_near", 0.05),
             density_thresh=get("density_thresh", 10.0),
-            grid_type=get("grid_type", "tiledgrid"),
+            grid_type=get("grid_type", "fourier"),
             grid_interpolation_type=get("grid_interpolation_type", "linear"),
             log2_hashmap_size=get("log2_hashmap_size", 16),
             desired_resolution=get("desired_resolution", 2048),
@@ -149,9 +155,17 @@ class RADNeRF(nn.Module):
             ]
         if c.with_att:
             self.cond_att_net = AudioAttNet(c.cond_out_dim, seq_len=c.smo_win_size)
-        self.position_embedder = GridEncoder(c.position_grid_spec())
+        if c.grid_type == "fourier":
+            self.position_embedder = FourierEncoder(
+                3, c.fourier_pos_features, max_scale=c.fourier_pos_max_scale
+            )
+            self.ambient_embedder = FourierEncoder(
+                c.ambient_coord_dim, c.fourier_amb_features, max_scale=c.fourier_amb_max_scale
+            )
+        else:
+            self.position_embedder = GridEncoder(c.position_grid_spec())
+            self.ambient_embedder = GridEncoder(c.ambient_grid_spec())
         self.ambient_net = MLP(c.ambient_coord_dim, c.hidden_dim_ambient, c.num_layers_ambient)
-        self.ambient_embedder = GridEncoder(c.ambient_grid_spec())
         self.sigma_net = MLP(1 + c.geo_feat_dim, c.hidden_dim_sigma, c.num_layers_sigma)
         self.color_net = MLP(3, c.hidden_dim_color, c.num_layers_color)
         if c.individual_embedding_dim > 0:

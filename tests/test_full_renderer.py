@@ -1,0 +1,119 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from genefaceplusplus_tpu.models.full_renderer import render_full_frame
+from genefaceplusplus_tpu.models.radnerf import RADNeRF, RADNeRFConfig
+from genefaceplusplus_tpu.models.radnerf_torso import (
+    TorsoConfig,
+    TorsoField,
+    composite_head_torso,
+    sample_occupancy_2d,
+)
+from genefaceplusplus_tpu.models.renderer import RenderOptions
+from genefaceplusplus_tpu.models.superresolution import Superresolution
+from genefaceplusplus_tpu.utils.rays import get_bg_coords, get_rays
+
+
+def test_sample_occupancy_2d_corners():
+    H = 8
+    grid = jnp.zeros((H, H)).at[0, 0].set(1.0).at[H - 1, H - 1].set(2.0)
+    coords = jnp.asarray([[-1.0, -1.0], [1.0, 1.0], [0.0, 0.0]])
+    v = sample_occupancy_2d(grid, coords)
+    np.testing.assert_allclose(np.asarray(v), [1.0, 2.0, 0.0], atol=1e-5)
+
+
+def test_torso_field_shapes():
+    cfg = TorsoConfig(torso_individual_embedding_num=16, fourier_features=16, torso_head_aware=True)
+    model = TorsoField(cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(0), (32, 2), minval=-1, maxval=1)
+    lm68 = jax.random.uniform(jax.random.PRNGKey(1), (1, 68, 2))
+    params = model.init(jax.random.PRNGKey(2), x, lm68, jnp.zeros(8), jnp.zeros((32, 3)), jnp.zeros((32, 1)))
+    out = model.apply(params, x, lm68, jnp.zeros(8), jnp.zeros((32, 3)), jnp.zeros((32, 1)))
+    assert out.alpha.shape == (32, 1)
+    assert out.color.shape == (32, 3)
+    assert out.deform.shape == (32, 2)
+    assert (np.asarray(out.alpha) >= 0).all() and (np.asarray(out.alpha) <= 1).all()
+
+
+def test_composite_head_torso_opaque_head_hides_torso():
+    N = 4
+    head = jnp.ones((N, 3)) * 0.5
+    ws = jnp.ones((N,))  # fully opaque head
+    ta = jnp.ones((N, 1))
+    tc = jnp.zeros((N, 3))
+    img, _ = composite_head_torso(head, ws, ta, tc, bg_color=1.0)
+    np.testing.assert_allclose(np.asarray(img), 0.5, atol=1e-6)
+    # transparent head -> torso color shows
+    img2, _ = composite_head_torso(jnp.zeros((N, 3)), jnp.zeros((N,)), ta, tc + 0.25, 1.0)
+    np.testing.assert_allclose(np.asarray(img2), 0.25, atol=1e-6)
+
+
+def test_full_frame_with_torso_and_sr():
+    H = W = 16
+    head_cfg = RADNeRFConfig(
+        grid_size=16, individual_embedding_num=8, smo_win_size=3,
+        fourier_pos_features=16, fourier_amb_features=8,
+        hidden_dim_sigma=32, hidden_dim_ambient=32, hidden_dim_color=32, geo_feat_dim=16,
+    )
+    head = RADNeRF(head_cfg)
+    key = jax.random.PRNGKey(0)
+    cond = jax.random.normal(key, (3, 1, 204))
+    head_params = head.init(key, jnp.zeros((8, 3)), jnp.ones((8, 3)), cond)
+
+    torso_cfg = TorsoConfig(torso_individual_embedding_num=8, fourier_features=8, torso_head_aware=True)
+    torso = TorsoField(torso_cfg)
+    bg_coords = get_bg_coords(H, W)[0]
+    lm68 = jax.random.uniform(jax.random.PRNGKey(1), (1, 68, 2))
+    torso_params = torso.init(
+        jax.random.PRNGKey(2), bg_coords, lm68, jnp.zeros(8), jnp.zeros((H * W, 3)), jnp.zeros((H * W, 1))
+    )
+
+    sr = Superresolution(channels=3, input_resolution=H)
+    sr_params = sr.init(jax.random.PRNGKey(3), jnp.zeros((1, H, W, 3)))
+
+    pose = np.eye(4, dtype=np.float32)
+    pose[2, 3] = -2.0
+    rays = get_rays(jnp.asarray(pose[None]), (2.0 * W, 2.0 * H, W / 2, H / 2), H, W)
+    occ = jnp.ones((16, 16, 16), bool)
+    occ2d = jnp.ones((16, 16)) * 0.5
+
+    out = render_full_frame(
+        head, head_params,
+        rays["rays_o"][0], rays["rays_d"][0], cond, occ,
+        bg_color=jnp.ones((H * W, 3)),
+        opts=RenderOptions(num_coarse=16, num_samples=8),
+        image_hw=(H, W),
+        torso_model=torso, torso_params=torso_params,
+        bg_coords=bg_coords, lm68=lm68, occupancy_2d=occ2d,
+        sr_model=sr, sr_params=sr_params,
+    )
+    assert out.rgb_map.shape == (H * W, 3)
+    assert out.sr_rgb_map.shape == (2 * H, 2 * W, 3)
+    img = np.asarray(out.sr_rgb_map)
+    assert np.isfinite(img).all() and (img >= 0).all() and (img <= 1).all()
+
+
+def test_full_frame_head_only_matches_bg_when_empty():
+    H = W = 8
+    head_cfg = RADNeRFConfig(
+        grid_size=8, individual_embedding_num=4, smo_win_size=3,
+        fourier_pos_features=8, fourier_amb_features=8,
+        hidden_dim_sigma=16, hidden_dim_ambient=16, hidden_dim_color=16, geo_feat_dim=8,
+    )
+    head = RADNeRF(head_cfg)
+    key = jax.random.PRNGKey(0)
+    cond = jax.random.normal(key, (3, 1, 204))
+    head_params = head.init(key, jnp.zeros((8, 3)), jnp.ones((8, 3)), cond)
+    pose = np.eye(4, dtype=np.float32)
+    pose[2, 3] = -2.0
+    rays = get_rays(jnp.asarray(pose[None]), (2.0 * W, 2.0 * H, W / 2, H / 2), H, W)
+    out = render_full_frame(
+        head, head_params,
+        rays["rays_o"][0], rays["rays_d"][0], cond,
+        jnp.zeros((8, 8, 8), bool),  # empty occupancy
+        bg_color=0.75,
+        opts=RenderOptions(num_coarse=8, num_samples=4),
+        image_hw=(H, W),
+    )
+    np.testing.assert_allclose(np.asarray(out.rgb_map), 0.75, atol=1e-6)

@@ -1,0 +1,102 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from genefaceplusplus_tpu.models.superresolution import (
+    FullyConnectedLayer,
+    Superresolution,
+    modulated_conv2d,
+)
+from genefaceplusplus_tpu.ops.upfirdn2d import setup_filter, upfirdn2d, upsample2d
+
+
+class TestUpfirdn2d:
+    def test_identity(self):
+        x = jax.random.normal(jax.random.PRNGKey(0), (1, 8, 8, 3))
+        out = upfirdn2d(x, None, up=1, down=1, padding=0)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(x), rtol=1e-6)
+
+    def test_upsample_preserves_mean(self):
+        # FIR upsampling with a normalised filter and gain=up^2 preserves DC
+        x = jnp.ones((1, 8, 8, 1))
+        f = setup_filter([1, 3, 3, 1])
+        out = upsample2d(x, f)
+        assert out.shape == (1, 16, 16, 1)
+        # interior pixels should be ~1.0 (away from boundary effects)
+        np.testing.assert_allclose(np.asarray(out[0, 4:12, 4:12, 0]), 1.0, atol=1e-5)
+
+    def test_downsample_shape(self):
+        from genefaceplusplus_tpu.ops.upfirdn2d import downsample2d
+
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 16, 3))
+        f = setup_filter([1, 3, 3, 1])
+        out = downsample2d(x, f)
+        assert out.shape == (2, 8, 8, 3)
+
+    def test_zero_insertion_semantics(self):
+        # up=2 with identity filter scaled by gain: output has x at even
+        # positions and 0 elsewhere
+        x = jnp.arange(4.0).reshape(1, 2, 2, 1) + 1.0
+        out = upfirdn2d(x, np.ones((1, 1), np.float32), up=2, padding=0, gain=1.0)
+        assert out.shape == (1, 4, 4, 1)
+        o = np.asarray(out[0, :, :, 0])
+        np.testing.assert_allclose(o[0, 0], 1.0)
+        np.testing.assert_allclose(o[0, 1], 0.0)
+        np.testing.assert_allclose(o[2, 2], 4.0)
+
+
+class TestModulatedConv:
+    def test_demodulation_normalises(self):
+        key = jax.random.PRNGKey(0)
+        x = jax.random.normal(key, (2, 8, 8, 4))
+        w = jax.random.normal(jax.random.PRNGKey(1), (3, 3, 4, 8))
+        styles = jnp.abs(jax.random.normal(jax.random.PRNGKey(2), (2, 4))) + 0.5
+        out = modulated_conv2d(x, w, styles, padding=1)
+        assert out.shape == (2, 8, 8, 8)
+        # demodulated conv keeps activation scale ~input scale
+        assert 0.2 < float(out.std()) < 5.0
+
+    def test_style_scaling_equivariance_without_demod(self):
+        # without demodulation, scaling styles scales output linearly
+        x = jax.random.normal(jax.random.PRNGKey(0), (1, 8, 8, 4))
+        w = jax.random.normal(jax.random.PRNGKey(1), (1, 1, 4, 2))
+        s = jnp.ones((1, 4))
+        a = modulated_conv2d(x, w, s, demodulate=False)
+        b = modulated_conv2d(x, w, 2.0 * s, demodulate=False)
+        np.testing.assert_allclose(np.asarray(b), 2 * np.asarray(a), rtol=1e-5)
+
+
+def test_fully_connected_gain():
+    fc = FullyConnectedLayer(8, bias_init=1.0)
+    x = jnp.ones((2, 4))
+    p = fc.init(jax.random.PRNGKey(0), x)
+    out = fc.apply(p, x)
+    assert out.shape == (2, 8)
+    # weight_gain = 1/sqrt(in): manual check
+    w = p["params"]["weight"]
+    expected = x @ (w.T / np.sqrt(4)) + 1.0
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expected), rtol=1e-5)
+
+
+def test_superresolution_2x():
+    model = Superresolution(channels=3, input_resolution=32)
+    rgb = jax.random.uniform(jax.random.PRNGKey(0), (1, 32, 32, 3))
+    variables = model.init(jax.random.PRNGKey(1), rgb)
+    out = model.apply(variables, rgb)
+    assert out.shape == (1, 64, 64, 3)
+    assert np.isfinite(np.asarray(out)).all()
+    # const noise mode is deterministic
+    out2 = model.apply(variables, rgb)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out2), atol=1e-6)
+    # random noise mode differs run to run given different rngs — but only
+    # once noise_strength departs from its (faithful) zero init
+    import flax
+
+    flat = flax.traverse_util.flatten_dict(variables)
+    for k in flat:
+        if k[-1] == "noise_strength":
+            flat[k] = jnp.asarray(0.5)
+    variables2 = flax.traverse_util.unflatten_dict(flat)
+    o3 = model.apply(variables2, rgb, noise_mode="random", rng=jax.random.PRNGKey(2))
+    o4 = model.apply(variables2, rgb, noise_mode="random", rng=jax.random.PRNGKey(3))
+    assert not np.allclose(np.asarray(o3), np.asarray(o4))
