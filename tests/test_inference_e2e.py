@@ -1,0 +1,86 @@
+"""End-to-end inference test: synthetic dataset + random weights -> mp4."""
+
+import os
+
+import numpy as np
+import pytest
+
+from genefaceplusplus_tpu.config import save_config
+from genefaceplusplus_tpu.data.dataset import RADNeRFDataset, synthetic
+from genefaceplusplus_tpu.inference.pipeline import GeneFaceInfer, default_inp
+
+
+@pytest.fixture(scope="module")
+def infer(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("ckpts")
+    a2m_dir = str(tmp / "a2m")
+    head_dir = str(tmp / "head")
+    save_config({"use_pitch": True, "audio_in_dim": 64, "motion_type": "exp"}, a2m_dir)
+    save_config(
+        {
+            "with_sr": False,
+            "grid_size": 16,
+            "smo_win_size": 3,
+            "cond_win_size": 1,
+            "hidden_dim_sigma": 32,
+            "hidden_dim_ambient": 32,
+            "hidden_dim_color": 32,
+            "geo_feat_dim": 16,
+            "individual_embedding_num": 32,
+            "add_eye_blink_cond": True,
+        },
+        head_dir,
+    )
+    ds = RADNeRFDataset(synthetic(num_frames=24, H=32, W=32), split="train",
+                        smo_win_size=3, with_sr=False)
+    return GeneFaceInfer(audio2secc_dir=a2m_dir, head_model_dir=head_dir, dataset=ds)
+
+
+def _features(tmp_path, T50=32):
+    rng = np.random.RandomState(0)
+    feats = {
+        "hubert": rng.randn(T50, 64).astype(np.float32),
+        "f0": (np.abs(rng.randn(T50)) * 100 + 80).astype(np.float32),
+    }
+    path = str(tmp_path / "feats.npy")
+    np.save(path, feats, allow_pickle=True)
+    return path
+
+
+def test_wav_to_video_end_to_end(infer, tmp_path):
+    out_name = str(tmp_path / "out.mp4")
+    inp = default_inp(
+        drv_aud_features=_features(tmp_path),
+        out_name=out_name,
+        blink_mode="period",
+        temperature=0.5,
+        lle_percent=0.2,
+        drv_pose="nearest",
+    )
+    out = infer.infer_once(inp)
+    assert os.path.exists(out)
+    assert os.path.getsize(out) > 0
+
+
+def test_audio2secc_stage_shapes(infer, tmp_path):
+    inp = default_inp(drv_aud_features=_features(tmp_path), blink_mode="none", lle_percent=0.0)
+    batch = infer.prepare_batch_from_inp(inp)
+    assert batch["T"] == 16
+    batch = infer.forward_audio2secc(batch, inp)
+    assert batch["cond"].shape == (16, 1, 204)
+    assert batch["lm68"].shape == (16, 68, 2)
+    assert np.isfinite(batch["cond"]).all()
+    # conditions must vary over time (driven by audio)
+    assert batch["cond"].std(axis=0).max() > 0
+
+
+def test_pose_schedules(infer, tmp_path):
+    for drv_pose, check in [
+        ("static", lambda idx: (idx == 0).all()),
+        ("3", lambda idx: (idx == 3).all()),
+        ("nearest", lambda idx: idx.max() > 0),
+        ("2-8", lambda idx: (idx >= 2).all() and (idx <= 7).all()),
+    ]:
+        inp = default_inp(drv_aud_features=_features(tmp_path), drv_pose=drv_pose)
+        batch = infer.prepare_batch_from_inp(inp)
+        assert check(batch["pose_idx"]), drv_pose
