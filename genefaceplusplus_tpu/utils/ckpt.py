@@ -87,20 +87,38 @@ def save_checkpoint(
     return path
 
 
-def restore_into(template_tree, loaded_tree, strict: bool = False):
+_MISSING = object()
+
+
+def restore_into(template_tree, loaded_tree, strict: bool = False, _path: str = ""):
     """Copy loaded leaves into the template where names+shapes match;
-    lenient pruning on mismatch (ckpt_utils.py:56-72)."""
-    flat_t = _flatten(template_tree)
-    flat_l = _flatten(loaded_tree)
-    out = {}
-    for k, v in flat_t.items():
-        if k in flat_l and tuple(np.shape(flat_l[k])) == tuple(np.shape(v)):
-            out[k] = np.asarray(flat_l[k]).astype(np.asarray(v).dtype)
-        else:
-            if strict and k in flat_l:
-                raise ValueError(f"shape mismatch for {k}: {np.shape(flat_l.get(k))} vs {np.shape(v)}")
-            out[k] = v
-    return _unflatten(out)
+    lenient pruning on mismatch (ckpt_utils.py:56-72). Preserves the full
+    template structure (incl. empty subtrees like optax MaskedNode)."""
+    if isinstance(template_tree, dict):
+        loaded = loaded_tree if isinstance(loaded_tree, dict) else {}
+        return {
+            k: restore_into(v, loaded.get(k, _MISSING), strict, f"{_path}{k}/")
+            for k, v in template_tree.items()
+        }
+    if isinstance(template_tree, (list, tuple)):
+        loaded = loaded_tree if isinstance(loaded_tree, (list, tuple, dict)) else []
+        if isinstance(loaded, dict):  # msgpack may store lists as index dicts
+            loaded = [loaded.get(str(i), _MISSING) for i in range(len(template_tree))]
+        out = [
+            restore_into(v, loaded[i] if i < len(loaded) else _MISSING, strict, f"{_path}{i}/")
+            for i, v in enumerate(template_tree)
+        ]
+        return type(template_tree)(out)
+    # leaf
+    if loaded_tree is _MISSING or isinstance(loaded_tree, dict) or loaded_tree is None:
+        return template_tree
+    if tuple(np.shape(loaded_tree)) == tuple(np.shape(template_tree)):
+        return np.asarray(loaded_tree).astype(np.asarray(template_tree).dtype)
+    if strict:
+        raise ValueError(
+            f"shape mismatch at {_path}: {np.shape(loaded_tree)} vs {np.shape(template_tree)}"
+        )
+    return template_tree
 
 
 def _flatten(tree, prefix="") -> Dict[str, Any]:
