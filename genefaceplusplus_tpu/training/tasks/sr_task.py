@@ -1,0 +1,177 @@
+"""Head+SR training task: full-frame renders with staged SR/perceptual losses.
+
+Parity: RADNeRFTask (SR variant), /root/reference/tasks/radnerfs/radnerf_sr.py:87-312 —
+full-image steps (n_rays == H*W), losses mse + weights-entropy + adaptive
+masked ambient + sr_mse (from sr_start_iters) + perceptual on raw/SR/lip
+crops (from lpips_start_iters, 0.5x weights for the SR terms), and the
+lambda_ambient log10 feedback controller.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from genefaceplusplus_tpu.data.dataset import RADNeRFDataset
+from genefaceplusplus_tpu.models.radnerf import RADNeRF, RADNeRFConfig
+from genefaceplusplus_tpu.models.renderer import RenderOptions, render_rays
+from genefaceplusplus_tpu.models.superresolution import Superresolution
+from genefaceplusplus_tpu.training import losses as L
+from genefaceplusplus_tpu.training.perceptual import PerceptualLoss
+from genefaceplusplus_tpu.training.schedulers import make_radnerf_optimizer
+from genefaceplusplus_tpu.training.tasks.head_task import HeadNeRFTask, HeadTaskConfig
+from genefaceplusplus_tpu.training.radnerf_task import TaskHParams
+from genefaceplusplus_tpu.utils.rays import pixel_rays
+
+
+@flax.struct.dataclass
+class SRTrainState:
+    params: dict  # {'head': ..., 'sr': ...}
+    opt_state: dict
+    global_step: jnp.ndarray
+    lambda_ambient: jnp.ndarray
+    rng: jax.Array
+
+
+@dataclasses.dataclass
+class SRTaskConfig(HeadTaskConfig):
+    sr_start_iters: int = 0
+    lpips_start_iters: int = 200_000
+    lambda_lpips: float = 0.001
+
+
+class SRHeadNeRFTask(HeadNeRFTask):
+    """Full-frame head + 2x SR training."""
+
+    def __init__(self, dataset: RADNeRFDataset, model_cfg: RADNeRFConfig,
+                 task_cfg: SRTaskConfig = SRTaskConfig(), hp: TaskHParams = TaskHParams(),
+                 seed: int = 9999):
+        super().__init__(dataset, model_cfg, task_cfg, hp, seed)
+        self.sr_model = Superresolution(channels=3, input_resolution=dataset.H)
+        self.perceptual = PerceptualLoss(seed=0)
+        self._train_step = jax.jit(self._make_sr_step(), static_argnames=("use_lpips", "use_sr"))
+
+    def create_state(self) -> SRTrainState:
+        cfg = self.cfg
+        cond = jnp.zeros((cfg.smo_win_size, cfg.cond_win_size, cfg.cond_in_dim))
+        head_params = self.model.init(
+            jax.random.PRNGKey(self.seed), jnp.zeros((8, 3)), jnp.ones((8, 3)), cond
+        )
+        sr_params = self.sr_model.init(
+            jax.random.PRNGKey(self.seed + 1), jnp.zeros((1, self.dataset.H, self.dataset.W, 3))
+        )
+        params = {"head": head_params, "sr": sr_params}
+        return SRTrainState(
+            params=params,
+            opt_state=self.tx.init(params),
+            global_step=jnp.asarray(0, jnp.int32),
+            lambda_ambient=jnp.asarray(self.hp.lambda_ambient, jnp.float32),
+            rng=jax.random.PRNGKey(self.seed),
+        )
+
+    def _make_sr_step(self):
+        model, sr_model, cfg, hp, opts, tx = (
+            self.model, self.sr_model, self.cfg, self.hp, self.opts, self.tx,
+        )
+        H, W = self.dataset.H, self.dataset.W
+        tcfg: SRTaskConfig = self.task_cfg
+        perceptual = self.perceptual
+
+        def loss_fn(params, batch, occupancy, lambda_ambient, global_step, noise, use_sr, use_lpips):
+            head_params = params["head"]
+            cond_feat = model.apply(head_params, batch["cond"], batch.get("eye_area_percent"),
+                                    method=RADNeRF.cal_cond_feat)
+            ind = model.apply(head_params, batch["idx"], method=RADNeRF.get_individual_code)
+
+            def field_fn(xyz, dirs):
+                return model.apply(head_params, xyz, dirs, cond_feat, ind, method=RADNeRF.field)
+
+            out = render_rays(field_fn, batch["rays_o"], batch["rays_d"], occupancy,
+                              bound=cfg.bound, min_near=cfg.min_near,
+                              bg_color=batch["bg_color"], opts=opts, noise=noise)
+            raw = out.rgb_map.reshape(1, H, W, 3)
+            mse = L.mse_loss(out.rgb_map, batch["gt_rgb"])
+            went = L.weights_entropy_loss(out.weights_sum)
+            amb = L.ambient_loss(out.ambient_sum, batch["face_mask"], hp.ambient_loss_mode)
+            amb = jnp.where(jnp.isnan(amb), 0.0, amb)
+            total = mse + hp.lambda_weights_entropy * went + lambda_ambient * amb
+            metrics = {"mse_loss": mse, "weights_entropy_loss": went, "ambient_loss": amb,
+                       "head_psnr": L.mse2psnr(mse)}
+
+            if use_sr:
+                sr = jnp.clip(sr_model.apply(params["sr"], raw), 0.0, 1.0)
+                gt512 = batch["gt_rgb_2x"].reshape(1, 2 * H, 2 * W, 3)
+                sr_mse = L.mse_loss(sr, gt512)
+                total = total + sr_mse
+                metrics["sr_mse_loss"] = sr_mse
+                if use_lpips:
+                    gt_raw = batch["gt_rgb"].reshape(1, H, W, 3)
+                    lp = perceptual(raw, gt_raw)
+                    lp_sr = perceptual(sr, gt512)
+                    total = total + tcfg.lambda_lpips * lp + 0.5 * tcfg.lambda_lpips * lp_sr
+                    metrics["lpips_loss"] = lp
+                    metrics["sr_lpips_loss"] = lp_sr
+            metrics["total_loss"] = total
+            return total, metrics
+
+        def step(state: SRTrainState, batch, occupancy, use_sr: bool, use_lpips: bool):
+            rng, sub = jax.random.split(state.rng)
+            noise = jax.random.uniform(sub, batch["rays_o"].shape[:1]) if opts.perturb else None
+            (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params, batch, occupancy, state.lambda_ambient, state.global_step,
+                noise, use_sr, use_lpips,
+            )
+            updates, new_opt = tx.update(grads, state.opt_state, state.params)
+            new_params = optax.apply_updates(state.params, updates)
+            new_lambda = L.adaptive_lambda_ambient(
+                state.lambda_ambient, metrics["ambient_loss"],
+                hp.target_ambient_loss, hp.lr_lambda_ambient,
+            )
+            metrics["lambda_ambient"] = new_lambda
+            return SRTrainState(new_params, new_opt, state.global_step + 1, new_lambda, rng), metrics
+
+        return step
+
+    def sample_train_batch(self) -> Dict:
+        """Full-frame batch: rays over all H*W pixels + 2x gt for SR."""
+        ds = self.dataset
+        idx = int(self.np_rng.randint(len(ds)))
+        H, W = ds.H, ds.W
+        pose = jnp.asarray(ds.frame_pose(idx)[None])
+        rays_o, rays_d, _ = pixel_rays(pose, ds.intrinsics, H, W)
+        gt = ds.load_image(idx, "gt")
+        if gt is None:
+            gt = ds.bg_img
+        import cv2
+
+        gt2x = cv2.resize(np.asarray(gt), (2 * W, 2 * H))
+        return {
+            "rays_o": rays_o[0],
+            "rays_d": rays_d[0],
+            "cond": jnp.asarray(ds.frame_cond_window(idx)),
+            "gt_rgb": jnp.asarray(gt.reshape(-1, 3)),
+            "gt_rgb_2x": jnp.asarray(gt2x.reshape(-1, 3)),
+            "bg_color": jnp.asarray(ds.bg_img.reshape(-1, 3)),
+            "face_mask": jnp.asarray(self._face_mask(idx).reshape(-1)),
+            "idx": idx,
+            "eye_area_percent": jnp.asarray(ds.eye_area_percents[idx : idx + 1]),
+        }
+
+    def train_step(self, state, batch):
+        step = int(state.global_step)
+        use_sr = step >= self.task_cfg.sr_start_iters
+        use_lpips = step >= self.task_cfg.lpips_start_iters
+        return self._train_step(state, batch, self.occupancy, use_sr=use_sr, use_lpips=use_lpips)
+
+    def update_extra_state(self, state):
+        # delegate with the head sub-tree
+        class _Shim:
+            params = state.params["head"]
+
+        super().update_extra_state(_Shim)
