@@ -83,13 +83,21 @@ class GeneFaceInfer:
         self.a2m_cfg = set_hparams(work_dir=audio2secc_dir) if audio2secc_dir else Config({})
         audio_in_dim = self.a2m_cfg.get("audio_in_dim", 1024)
         in_out_dim = 80 + 64 if self.a2m_cfg.get("motion_type", "exp") == "id_exp" else 64
+        size_kw = dict(
+            hidden_channels=self.a2m_cfg.get("a2m_hidden_channels", 256),
+            enc_n_layers=self.a2m_cfg.get("a2m_enc_layers", 8),
+            dec_n_layers=self.a2m_cfg.get("a2m_dec_layers", 4),
+            flow_hidden=self.a2m_cfg.get("a2m_flow_hidden", 64),
+            flow_n_blocks=self.a2m_cfg.get("a2m_flow_blocks", 4),
+        )
         if self.a2m_cfg.get("use_pitch", True):
             self.a2m_model = PitchContourVAEModel(
                 in_out_dim=in_out_dim, audio_in_dim=audio_in_dim,
                 use_mouth_amp_embed=self.a2m_cfg.get("use_mouth_amp_embed", True),
+                **size_kw,
             )
         else:
-            self.a2m_model = VAEModel(in_out_dim=in_out_dim, audio_in_dim=audio_in_dim)
+            self.a2m_model = VAEModel(in_out_dim=in_out_dim, audio_in_dim=audio_in_dim, **size_kw)
         self.a2m_params = self._load_params(audio2secc_dir, self._init_a2m)
 
         # ---- head (+ torso) renderer ----

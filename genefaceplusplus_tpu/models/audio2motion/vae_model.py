@@ -61,15 +61,22 @@ class VAEModel(nn.Module):
     audio_in_dim: int = 1024
     sqz_prior: bool = False
     use_prior_flow: bool = True
+    hidden_channels: int = 256   # reference: 256 (vae.py:292)
+    enc_n_layers: int = 8
+    dec_n_layers: int = 4
+    flow_hidden: int = 64
+    flow_n_blocks: int = 4
 
     def setup(self):
         feat_dim = 64
         self.mel_encoder = ConvStack(feat_dim, name="mel_encoder")
         self.vae = FVAE(
-            in_out_channels=self.in_out_dim, hidden_channels=256, latent_size=16,
-            kernel_size=5, enc_n_layers=8, dec_n_layers=4, gin_channels=feat_dim,
-            strides=(4,), use_prior_flow=self.use_prior_flow, flow_hidden=64,
-            flow_kernel_size=3, flow_n_blocks=4, sqz_prior=self.sqz_prior, name="vae",
+            in_out_channels=self.in_out_dim, hidden_channels=self.hidden_channels,
+            latent_size=16, kernel_size=5, enc_n_layers=self.enc_n_layers,
+            dec_n_layers=self.dec_n_layers, gin_channels=feat_dim,
+            strides=(4,), use_prior_flow=self.use_prior_flow, flow_hidden=self.flow_hidden,
+            flow_kernel_size=3, flow_n_blocks=self.flow_n_blocks,
+            sqz_prior=self.sqz_prior, name="vae",
         )
 
     def __call__(self, batch: Dict[str, Any], train: bool = True,
@@ -95,6 +102,11 @@ class PitchContourVAEModel(nn.Module):
     use_mouth_amp_embed: bool = True
     use_eye_amp_embed: bool = False
     feat_dim: int = 128
+    hidden_channels: int = 256   # reference: 256 (vae.py:382)
+    enc_n_layers: int = 8
+    dec_n_layers: int = 4
+    flow_hidden: int = 64
+    flow_n_blocks: int = 4
 
     def setup(self):
         fd = self.feat_dim
@@ -108,10 +120,12 @@ class PitchContourVAEModel(nn.Module):
             self.eye_amp_embed = self.param("eye_amp_embed", nn.initializers.normal(1.0), (fd,))
         self.cond_proj = nn.Dense(fd, use_bias=True, name="cond_proj")
         self.vae = FVAE(
-            in_out_channels=self.in_out_dim, hidden_channels=256, latent_size=16,
-            kernel_size=5, enc_n_layers=8, dec_n_layers=4, gin_channels=fd,
-            strides=(4,), use_prior_flow=self.use_prior_flow, flow_hidden=64,
-            flow_kernel_size=3, flow_n_blocks=4, sqz_prior=self.sqz_prior, name="vae",
+            in_out_channels=self.in_out_dim, hidden_channels=self.hidden_channels,
+            latent_size=16, kernel_size=5, enc_n_layers=self.enc_n_layers,
+            dec_n_layers=self.dec_n_layers, gin_channels=fd,
+            strides=(4,), use_prior_flow=self.use_prior_flow, flow_hidden=self.flow_hidden,
+            flow_kernel_size=3, flow_n_blocks=self.flow_n_blocks,
+            sqz_prior=self.sqz_prior, name="vae",
         )
 
     def __call__(self, batch: Dict[str, Any], train: bool = True,

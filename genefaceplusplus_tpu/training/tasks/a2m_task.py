@@ -44,16 +44,24 @@ class A2MTaskConfig:
     use_pitch: bool = True
     audio_in_dim: int = 1024
     in_out_dim: int = 64
+    hidden_channels: int = 256
+    enc_n_layers: int = 8
+    dec_n_layers: int = 4
+    flow_hidden: int = 64
+    flow_n_blocks: int = 4
 
 
 class A2MTask:
     def __init__(self, dataset: RADNeRFDataset, cfg: A2MTaskConfig = A2MTaskConfig(), seed: int = 9999):
         self.dataset = dataset
         self.cfg = cfg
+        size_kw = dict(hidden_channels=cfg.hidden_channels, enc_n_layers=cfg.enc_n_layers,
+                       dec_n_layers=cfg.dec_n_layers, flow_hidden=cfg.flow_hidden,
+                       flow_n_blocks=cfg.flow_n_blocks)
         if cfg.use_pitch:
-            self.model = PitchContourVAEModel(in_out_dim=cfg.in_out_dim, audio_in_dim=cfg.audio_in_dim)
+            self.model = PitchContourVAEModel(in_out_dim=cfg.in_out_dim, audio_in_dim=cfg.audio_in_dim, **size_kw)
         else:
-            self.model = VAEModel(in_out_dim=cfg.in_out_dim, audio_in_dim=cfg.audio_in_dim)
+            self.model = VAEModel(in_out_dim=cfg.in_out_dim, audio_in_dim=cfg.audio_in_dim, **size_kw)
         self.tx = optax.adam(cfg.lr, b1=0.9, b2=0.98)
         self.np_rng = np.random.RandomState(seed)
         self.seed = seed

@@ -17,3 +17,12 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 
 assert jax.default_backend() == "cpu", jax.default_backend()
+
+# persistent compilation cache: repeat runs (and the driver's repeated
+# invocations) skip recompiles
+import os as _os
+
+_cache = _os.path.join("/tmp", "jax_test_cache")
+_os.makedirs(_cache, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

@@ -108,7 +108,7 @@ def _a2m_batch(B=1, T=32, audio_dim=64):
 
 
 def test_vae_model_train_infer():
-    model = VAEModel(in_out_dim=64, audio_in_dim=64)
+    model = VAEModel(in_out_dim=64, audio_in_dim=64, hidden_channels=64, enc_n_layers=2, dec_n_layers=2, flow_hidden=16, flow_n_blocks=2)
     batch = _a2m_batch()
     variables = model.init(jax.random.PRNGKey(0), batch, train=True, rng=jax.random.PRNGKey(1))
     (recon, aux), _ = model.apply(
@@ -121,7 +121,7 @@ def test_vae_model_train_infer():
 
 
 def test_pitch_contour_vae_model():
-    model = PitchContourVAEModel(in_out_dim=64, audio_in_dim=64, use_mouth_amp_embed=True)
+    model = PitchContourVAEModel(in_out_dim=64, audio_in_dim=64, use_mouth_amp_embed=True, hidden_channels=64, enc_n_layers=2, dec_n_layers=2, flow_hidden=16, flow_n_blocks=2)
     batch = _a2m_batch()
     variables = model.init(jax.random.PRNGKey(0), batch, train=True, rng=jax.random.PRNGKey(1))
     gen, aux = model.apply(variables, batch, train=False, temperature=0.7, rng=jax.random.PRNGKey(3))

@@ -131,7 +131,7 @@ def test_postnet_identity_at_init():
 
 def test_a2m_training_reduces_loss():
     ds = RADNeRFDataset(synthetic(num_frames=96, H=16, W=16), split="train", with_sr=False)
-    task = A2MTask(ds, A2MTaskConfig(seq_len=16, batch_size=2, audio_in_dim=1024, lr=1e-3))
+    task = A2MTask(ds, A2MTaskConfig(seq_len=16, batch_size=2, audio_in_dim=1024, lr=1e-3, hidden_channels=64, enc_n_layers=2, dec_n_layers=2, flow_hidden=16, flow_n_blocks=2))
     state = task.create_state()
     losses = []
     for _ in range(8):

@@ -15,7 +15,9 @@ def infer(tmp_path_factory):
     tmp = tmp_path_factory.mktemp("ckpts")
     a2m_dir = str(tmp / "a2m")
     head_dir = str(tmp / "head")
-    save_config({"use_pitch": True, "audio_in_dim": 64, "motion_type": "exp"}, a2m_dir)
+    save_config({"use_pitch": True, "audio_in_dim": 64, "motion_type": "exp",
+                 "a2m_hidden_channels": 64, "a2m_enc_layers": 2, "a2m_dec_layers": 2,
+                 "a2m_flow_hidden": 16, "a2m_flow_blocks": 2}, a2m_dir)
     save_config(
         {
             "with_sr": False,
