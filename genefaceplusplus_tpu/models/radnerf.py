@@ -24,6 +24,7 @@ import jax.numpy as jnp
 
 from genefaceplusplus_tpu.models.cond_encoder import MLP, AudioAttNet, AudioNet
 from genefaceplusplus_tpu.models.grid_modules import GridEncoder
+from genefaceplusplus_tpu.ops.fastmath import fast_tanh
 from genefaceplusplus_tpu.ops.fourier_encoder import FourierEncoder
 from genefaceplusplus_tpu.ops.grid_encoder import GridSpec
 from genefaceplusplus_tpu.ops.sh_encoder import sh_encode
@@ -213,7 +214,7 @@ class RADNeRF(nn.Module):
 
         ambient_inp = jnp.concatenate([pos_feat, cond_tiled], axis=-1)
         ambient_logit = self.ambient_net(ambient_inp).astype(jnp.float32)
-        ambient_pos = jnp.tanh(ambient_logit)
+        ambient_pos = fast_tanh(ambient_logit)  # fast rational tanh (ops/fastmath.py)
         ambient_feat = self.ambient_embedder(ambient_pos, bound=1.0)
 
         h = jnp.concatenate([pos_feat, ambient_feat], axis=-1)
@@ -236,7 +237,7 @@ class RADNeRF(nn.Module):
         pos_feat = self.position_embedder(position, bound=c.bound)
         cond_tiled = jnp.broadcast_to(cond_feat, (N, cond_feat.shape[-1]))
         ambient_inp = jnp.concatenate([pos_feat, cond_tiled], axis=-1)
-        ambient_pos = jnp.tanh(self.ambient_net(ambient_inp).astype(jnp.float32))
+        ambient_pos = fast_tanh(self.ambient_net(ambient_inp).astype(jnp.float32))
         ambient_feat = self.ambient_embedder(ambient_pos, bound=1.0)
         h = self.sigma_net(jnp.concatenate([pos_feat, ambient_feat], axis=-1))
         return trunc_exp(h[..., 0])

@@ -31,11 +31,14 @@ class RenderOptions:
     """Static render hyper-parameters (shape-affecting: recompilation on change)."""
 
     max_steps: int = 16  # reference max_steps budget -> dt_min
-    num_coarse: int = 48  # K lattice points examined per ray
+    num_coarse: int = 48  # K lattice points examined per ray (grid mode)
     num_samples: int = 16  # S compacted samples per ray
     dt_gamma: float = 0.00390625  # 1/256
     T_thresh: float = 1e-4
     perturb: bool = False
+    # 'interval': gather-free occupied-AABB marching (TPU fast path)
+    # 'grid': per-cell occupancy testing (exact reference semantics)
+    march_mode: str = "interval"
 
 
 class RenderOutput(NamedTuple):
@@ -75,19 +78,27 @@ def render_rays(
     aabb = make_aabb(bound)
     nears, fars = raymarch.near_far_from_aabb(rays_o, rays_d, aabb, min_near)
 
-    m = raymarch.march_rays(
-        rays_o,
-        rays_d,
-        nears,
-        fars,
-        occupancy,
-        bound=bound,
-        dt_gamma=opts.dt_gamma,
-        max_steps=opts.max_steps,
-        num_coarse=opts.num_coarse,
-        num_samples=S,
-        noise=noise,
-    )
+    if opts.march_mode == "interval":
+        occ_box = raymarch.occupancy_aabb(occupancy, bound)
+        m = raymarch.march_rays_interval(
+            rays_o, rays_d, nears, fars, occ_box,
+            bound=bound, dt_gamma=opts.dt_gamma, max_steps=opts.max_steps,
+            num_samples=S, noise=noise, min_near=min_near,
+        )
+    else:
+        m = raymarch.march_rays(
+            rays_o,
+            rays_d,
+            nears,
+            fars,
+            occupancy,
+            bound=bound,
+            dt_gamma=opts.dt_gamma,
+            max_steps=opts.max_steps,
+            num_coarse=opts.num_coarse,
+            num_samples=S,
+            noise=noise,
+        )
 
     xyz = m.xyzs.reshape(R * S, 3)
     dirs = jnp.broadcast_to(rays_d[:, None, :], (R, S, 3)).reshape(R * S, 3)

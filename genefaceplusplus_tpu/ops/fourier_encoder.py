@@ -26,6 +26,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from genefaceplusplus_tpu.ops.fastmath import fast_cos, fast_sin
+
 
 def multiscale_scales(num_features: int, min_scale: float, max_scale: float) -> np.ndarray:
     """Log-spaced per-row frequency scales (analogue of grid levels)."""
@@ -54,4 +56,6 @@ class FourierEncoder(nn.Module):
         B = self.param("B", init_B)
         x01 = x / bound  # [-1, 1]
         proj = (2.0 * math.pi) * (x01 @ B.T.astype(x01.dtype))
-        return jnp.concatenate([jnp.sin(proj), jnp.cos(proj)], axis=-1)
+        # fast polynomial sin/cos: XLA's exact sin is ~107 cycles/element on
+        # TPU (ops/fastmath.py) and would dominate the whole field eval
+        return jnp.concatenate([fast_sin(proj), fast_cos(proj)], axis=-1)

