@@ -1,0 +1,236 @@
+"""Reference (PyTorch) checkpoint -> TPU framework converter.
+
+The reference saves `{epoch, global_step, optimizer_states, state_dict:
+{model: <torch state dict>}}` with legacy torch serialization
+(utils/commons/trainer.py:543-567). This module maps those tensors into our
+flax pytrees:
+
+  * Conv1d weight [out, in, k]      -> flax Conv kernel [k, in, out]
+  * ConvTranspose1d [in, out, k]    -> flax ConvTranspose kernel [k, in, out]
+  * Linear weight [out, in]         -> flax Dense kernel [in, out]
+  * torch weight_norm (weight_g [out,1,1] + weight_v) is folded into a
+    single kernel g * v / ||v||_(in,k) (the WN/coupling convs —
+    flow_base.py:47-65; our modules train plain convs)
+  * BatchNorm1d weight/bias/running_mean/var -> scale/bias + batch_stats
+  * Embedding weight -> Embed embedding
+  * GridEncoder embeddings copy verbatim (row layout identical by
+    construction, ops/grid_encoder.py); density_grid / density_bitfield
+    convert from morton to spatial order (ops/morton.py, native/)
+
+Only the audio2motion family is fully mapped here (the shipped inference
+models); the RADNeRF head mapping covers the grid-encoder path (the Fourier
+flagship has no torch counterpart by design).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import numpy as np
+
+
+def _np(t) -> np.ndarray:
+    try:
+        return t.detach().cpu().numpy()
+    except AttributeError:
+        return np.asarray(t)
+
+
+def load_torch_state_dict(path: str, sub_model: str = "model") -> Dict[str, np.ndarray]:
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    state = ckpt.get("state_dict", ckpt)
+    if sub_model in state:
+        state = state[sub_model]
+    return {k: _np(v) for k, v in state.items()}
+
+
+def fold_weight_norm(state: Dict[str, np.ndarray], prefix: str) -> np.ndarray:
+    """g * v / ||v|| with the norm over all dims but 0 (torch weight_norm)."""
+    g = state[f"{prefix}.weight_g"]
+    v = state[f"{prefix}.weight_v"]
+    axes = tuple(range(1, v.ndim))
+    norm = np.sqrt((v ** 2).sum(axis=axes, keepdims=True))
+    return g * v / np.maximum(norm, 1e-12)
+
+
+def conv1d_to_flax(w: np.ndarray) -> np.ndarray:
+    """[out, in, k] -> [k, in, out]."""
+    return np.transpose(w, (2, 1, 0))
+
+
+def convtranspose1d_to_flax(w: np.ndarray) -> np.ndarray:
+    """[in, out, k] -> [k, in, out], spatially flipped (torch ConvTranspose is
+    the conv gradient — kernel reversed relative to flax's fractionally
+    strided conv; verified in tests/test_convert_torch.py)."""
+    return np.ascontiguousarray(np.transpose(w, (2, 0, 1))[::-1])
+
+
+def linear_to_flax(w: np.ndarray) -> np.ndarray:
+    """[out, in] -> [in, out]."""
+    return w.T
+
+
+def _conv_entry(state, torch_prefix, weight_norm=False, transpose=False):
+    if weight_norm:
+        w = fold_weight_norm(state, torch_prefix)
+    else:
+        w = state[f"{torch_prefix}.weight"]
+    kernel = convtranspose1d_to_flax(w) if transpose else conv1d_to_flax(w)
+    out = {"kernel": kernel}
+    b = state.get(f"{torch_prefix}.bias")
+    if b is not None:
+        out["bias"] = b
+    return out
+
+
+def convert_wn(state: Dict[str, np.ndarray], prefix: str, n_layers: int) -> Dict[str, Any]:
+    """WN WaveNet stack (flow_base.py:21-117) -> our WN module params."""
+    out: Dict[str, Any] = {}
+    if f"{prefix}.cond_layer.weight_g" in state:
+        out["cond_layer"] = _conv_entry(state, f"{prefix}.cond_layer", weight_norm=True)
+    for i in range(n_layers):
+        out[f"in_layer_{i}"] = _conv_entry(state, f"{prefix}.in_layers.{i}", weight_norm=True)
+        out[f"res_skip_layer_{i}"] = _conv_entry(state, f"{prefix}.res_skip_layers.{i}", weight_norm=True)
+    return out
+
+
+def convert_coupling_block(state: Dict[str, np.ndarray], prefix: str,
+                           n_flows: int = 4, wn_layers: int = 4) -> Dict[str, Any]:
+    """ResidualCouplingBlock (torch ModuleList interleaves Flip at odd idx)."""
+    out: Dict[str, Any] = {}
+    for i in range(n_flows):
+        t = f"{prefix}.flows.{2 * i}"
+        out[f"flow_{i}"] = {
+            "pre": _conv_entry(state, f"{t}.pre"),
+            "post": _conv_entry(state, f"{t}.post"),
+            "enc": convert_wn(state, f"{t}.enc", wn_layers),
+        }
+    return out
+
+
+def _conv_stack(state, p0, p1, pbn):
+    """ConvStack (Conv-BN-GELU-Conv): returns (params, batch_stats)."""
+    params = {
+        "Conv_0": {"kernel": conv1d_to_flax(state[f"{p0}.weight"])},
+        "Conv_1": {"kernel": conv1d_to_flax(state[f"{p1}.weight"])},
+        "BatchNorm_0": {"scale": state[f"{pbn}.weight"], "bias": state[f"{pbn}.bias"]},
+    }
+    stats = {
+        "BatchNorm_0": {"mean": state[f"{pbn}.running_mean"], "var": state[f"{pbn}.running_var"]},
+    }
+    return params, stats
+
+
+def convert_fvae(state: Dict[str, np.ndarray], prefix: str = "vae",
+                 enc_layers: int = 8, dec_layers: int = 4) -> Dict[str, Any]:
+    """FVAE (vae.py:150-269) -> our FVAE params."""
+    p: Dict[str, Any] = {}
+    p["g_pre_net"] = _conv_entry(state, f"{prefix}.g_pre_net.0")
+    p["encoder"] = {
+        "Conv_0": _conv_entry(state, f"{prefix}.encoder.pre_net.0"),
+        "wn": convert_wn(state, f"{prefix}.encoder.wn", enc_layers),
+        "Conv_1": _conv_entry(state, f"{prefix}.encoder.out_proj"),
+    }
+    if f"{prefix}.decoder.pre_net.0.weight" in state:
+        p["decoder"] = {
+            "ConvTranspose_0": _conv_entry(state, f"{prefix}.decoder.pre_net.0", transpose=True),
+            "wn": convert_wn(state, f"{prefix}.decoder.wn", dec_layers),
+            "Conv_0": _conv_entry(state, f"{prefix}.decoder.out_proj"),
+        }
+    if f"{prefix}.prior_flow.flows.0.pre.weight" in state:
+        p["prior_flow"] = convert_coupling_block(state, f"{prefix}.prior_flow")
+    return p
+
+
+def convert_pitch_contour_vae(state: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """PitchContourVAEModel torch state dict -> flax variables dict."""
+    mel_p, mel_s = _conv_stack(state, "mel_encoder.0", "mel_encoder.3", "mel_encoder.1")
+    pit_p, pit_s = _conv_stack(state, "pitch_encoder.0", "pitch_encoder.3", "pitch_encoder.1")
+    params: Dict[str, Any] = {
+        "blink_embed": {"embedding": state["blink_embed.weight"]},
+        "mel_encoder": mel_p,
+        "pitch_embed": {"embedding": state["pitch_embed.weight"]},
+        "pitch_encoder": pit_p,
+        "cond_proj": {"kernel": linear_to_flax(state["cond_proj.weight"]),
+                      "bias": state["cond_proj.bias"]},
+        "vae": convert_fvae(state),
+    }
+    if "mouth_amp_embed" in state:
+        params["mouth_amp_embed"] = state["mouth_amp_embed"]
+    if "eye_amp_embed" in state:
+        params["eye_amp_embed"] = state["eye_amp_embed"]
+    batch_stats = {"mel_encoder": mel_s, "pitch_encoder": pit_s}
+    return {"params": params, "batch_stats": batch_stats}
+
+
+def convert_radnerf_grid(state: Dict[str, np.ndarray], grid_size: int = 128) -> Dict[str, Any]:
+    """RADNeRF (grid path) torch state dict -> flax params + render state.
+
+    Maps cond_prenet/cond_att_net convs+linears, grid embeddings (verbatim),
+    ambient/sigma/color MLPs, individual codes, and converts density grid
+    buffers from morton to spatial order.
+    """
+    import jax.numpy as jnp
+
+    from genefaceplusplus_tpu.ops import morton
+
+    def mlp(prefix, n):
+        return {
+            f"Dense_{i}": {"kernel": linear_to_flax(state[f"{prefix}.net.{i}.weight"])}
+            for i in range(n)
+        }
+
+    def audio_net(prefix):
+        out = {}
+        conv_ids = [0, 2, 4, 6]
+        for j, ci in enumerate(conv_ids):
+            out[f"Conv_{j}"] = _conv_entry(state, f"{prefix}.encoder_conv.{ci}")
+        out["Dense_0"] = {"kernel": linear_to_flax(state[f"{prefix}.encoder_fc1.0.weight"]),
+                          "bias": state[f"{prefix}.encoder_fc1.0.bias"]}
+        out["Dense_1"] = {"kernel": linear_to_flax(state[f"{prefix}.encoder_fc1.2.weight"]),
+                          "bias": state[f"{prefix}.encoder_fc1.2.bias"]}
+        return out
+
+    def att_net(prefix):
+        out = {}
+        conv_ids = [0, 2, 4, 6, 8]
+        for j, ci in enumerate(conv_ids):
+            out[f"Conv_{j}"] = _conv_entry(state, f"{prefix}.attentionConvNet.{ci}")
+        out["Dense_0"] = {"kernel": linear_to_flax(state[f"{prefix}.attentionNet.0.weight"]),
+                          "bias": state[f"{prefix}.attentionNet.0.bias"]}
+        return out
+
+    params: Dict[str, Any] = {
+        "cond_prenet": audio_net("cond_prenet"),
+        "position_embedder": {"embeddings": state["position_embedder.embeddings"]},
+        "ambient_embedder": {"embeddings": state["ambient_embedder.embeddings"]},
+        "ambient_net": mlp("ambient_net", 3),
+        "sigma_net": mlp("sigma_net", 3),
+        "color_net": mlp("color_net", 2),
+    }
+    if "cond_att_net.attentionConvNet.0.weight" in state:
+        params["cond_att_net"] = att_net("cond_att_net")
+    if "individual_embeddings" in state:
+        params["individual_embeddings"] = state["individual_embeddings"]
+    if "blink_embedding.weight" in state:
+        params["blink_embedding"] = {"embedding": state["blink_embedding.weight"]}
+        params["blink_encoder_0"] = {"kernel": linear_to_flax(state["blink_encoder.0.weight"]),
+                                     "bias": state["blink_encoder.0.bias"]}
+        params["blink_encoder_1"] = {"kernel": linear_to_flax(state["blink_encoder.1.weight"]),
+                                     "bias": state["blink_encoder.1.bias"]}
+
+    render_state: Dict[str, Any] = {}
+    if "density_grid" in state:
+        g = np.asarray(state["density_grid"])  # [CAS, H^3] morton order
+        render_state["density_grid"] = np.asarray(
+            morton.morton_to_spatial(jnp.asarray(g), grid_size)
+        )
+    if "density_bitfield" in state:
+        bits = np.asarray(state["density_bitfield"]).astype(np.uint8)
+        cas = bits.size * 8 // grid_size ** 3
+        render_state["occupancy"] = np.asarray(
+            morton.bitfield_to_occupancy(jnp.asarray(bits), cas, grid_size)
+        )[0]
+    return {"params": params, "render_state": render_state}
