@@ -160,8 +160,11 @@ class HeadNeRFTask:
         self.mean_density = float(mean_d)
 
     # ------------------------------------------------------------------
-    def validate(self, state: TrainState, max_frames: int = 2) -> Dict[str, float]:
-        """Full-image renders on val frames -> PSNR (radnerf.py:199-200)."""
+    def validate(self, state: TrainState, max_frames: int = 2,
+                 save_dir: str = "") -> Dict[str, float]:
+        """Full-image renders on val frames -> PSNR (radnerf.py:199-200);
+        renders saved to <save_dir>/validation_results when given (mirrors
+        the reference's periodic validation figures, radnerf.py:234-281)."""
         ds_val = self.dataset  # caller may pass a val split dataset
         from genefaceplusplus_tpu.utils.rays import pixel_rays
 
@@ -183,6 +186,25 @@ class HeadNeRFTask:
                 bg_color=jnp.asarray(ds_val.bg_img.reshape(-1, 3)),
                 opts=dataclasses.replace(self.opts, perturb=False),
             )
+            if save_dir:
+                import os
+
+                from genefaceplusplus_tpu import native
+
+                vdir = os.path.join(save_dir, "validation_results")
+                os.makedirs(vdir, exist_ok=True)
+                img = native.pack_frame(
+                    np.asarray(out.rgb_map).reshape(ds_val.H, ds_val.W, 3)
+                )
+                try:
+                    import cv2
+
+                    cv2.imwrite(
+                        os.path.join(vdir, f"val_{int(state.global_step)}_{i}.png"),
+                        cv2.cvtColor(img, cv2.COLOR_RGB2BGR),
+                    )
+                except Exception:
+                    pass
             gt = ds_val.load_image(i, "gt")
             if gt is None:
                 continue

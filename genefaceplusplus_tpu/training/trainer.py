@@ -143,7 +143,10 @@ class Trainer:
                 meters.reset()
 
             if (step + 1) % self.val_check_interval == 0 or step + 1 == self.max_updates:
-                val_metrics = task.validate(state)
+                try:
+                    val_metrics = task.validate(state, save_dir=self.work_dir)
+                except TypeError:  # tasks without render saving
+                    val_metrics = task.validate(state)
                 if val_metrics:
                     self._log_metrics(step + 1, val_metrics)
                     self.logger.log(f"| val @ {step + 1}: {val_metrics}")
