@@ -117,13 +117,13 @@ def _sh16(d):
 
 
 def _kernel(amb_dim, ind_dim,
-            xyz_ref, dirs_ref, cond_ref, ind_ref,
-            pos_B, amb_w1, amb_w2, amb_w3, amb_B,
-            sig_w1, sig_w2, sig_w3, col_w1, col_w2,
+            xyz_ref, dirs_ref, amb_bias_ref, col_bias_ref,
+            pos_B, amb_w1p, amb_w2, amb_w3, amb_B,
+            sig_w1p, sig_w1a, sig_w2, sig_w3, col_w1s, col_w1g, col_w2,
             out_ref):
-    # MLP matmuls run in bf16 (MXU fast path) with f32 accumulation; the
-    # Fourier projections, sin/cos/tanh/exp, and outputs stay f32 (precision
-    # parity with the reference's fp16-autocast inference).
+    """Split-dot formulation: no concat buffers, per-frame constant terms
+    (cond @ W, ind @ W) arrive as precomputed biases. MLP matmuls bf16 with
+    f32 accumulation; Fourier projections/sin/cos/tanh/exp stay f32."""
     f32 = jnp.float32
     bf16 = jnp.bfloat16
     dot = functools.partial(jnp.dot, preferred_element_type=f32)
@@ -133,9 +133,8 @@ def _kernel(amb_dim, ind_dim,
     proj = dot(xyz, pos_B[:])  # [T, 128] f32 (high-frequency: keep f32)
     pos_feat = jnp.concatenate([fast_sin(proj), fast_cos(proj)], axis=-1).astype(bf16)
 
-    cond = jnp.broadcast_to(cond_ref[:], (T, 128)).astype(bf16)
-    amb_in = jnp.concatenate([pos_feat, cond], axis=-1)  # [T, 384] bf16
-    h = jnp.maximum(dot(amb_in, amb_w1[:]), 0.0).astype(bf16)
+    # ambient MLP; cond contribution folded into amb_bias
+    h = jnp.maximum(dot(pos_feat, amb_w1p[:]) + amb_bias_ref[:], 0.0).astype(bf16)
     h = jnp.maximum(dot(h, amb_w2[:]), 0.0).astype(bf16)
     amb_logit = dot(h, amb_w3[:])  # [T, 128] f32
     col_ids = jax.lax.broadcasted_iota(jnp.int32, amb_logit.shape, 1)
@@ -144,19 +143,19 @@ def _kernel(amb_dim, ind_dim,
     aproj = dot(amb_pos, amb_B[:])  # [T, 64] f32
     amb_feat = jnp.concatenate([fast_sin(aproj), fast_cos(aproj)], axis=-1).astype(bf16)
 
-    sig_in = jnp.concatenate([pos_feat, amb_feat], axis=-1)  # [T, 384] bf16
-    h = jnp.maximum(dot(sig_in, sig_w1[:]), 0.0).astype(bf16)
+    # sigma MLP; first layer split over (pos_feat | amb_feat)
+    h = jnp.maximum(dot(pos_feat, sig_w1p[:]) + dot(amb_feat, sig_w1a[:]), 0.0).astype(bf16)
     h = jnp.maximum(dot(h, sig_w2[:]), 0.0).astype(bf16)
     sig_out = dot(h, sig_w3[:])  # [T, 256] f32
     sigma = jnp.exp(jnp.clip(sig_out[:, 0:1], -15.0, 15.0))  # trunc_exp fwd
-    geo = sig_out[:, 1:129]  # [T, 128]
+    geo = sig_out[:, 1:129].astype(bf16)  # [T, 128]
 
     dirs = dirs_ref[:]  # [T, 8]
-    sh = _sh16(dirs)  # [T, 16]
-    ind = jnp.broadcast_to(ind_ref[:], (T, 16))  # [T, 16] (ind_dim valid)
-    pad = jnp.zeros((T, 256 - 16 - 128 - 16), f32)
-    col_in = jnp.concatenate([sh, geo, ind, pad], axis=-1).astype(bf16)  # [T, 256]
-    h = jnp.maximum(dot(col_in, col_w1[:]), 0.0).astype(bf16)
+    sh = _sh16(dirs).astype(bf16)  # [T, 16]
+    # color MLP; first layer split over (SH | geo), ind folded into col_bias
+    h = jnp.maximum(
+        dot(sh, col_w1s[:]) + dot(geo, col_w1g[:]) + col_bias_ref[:], 0.0
+    ).astype(bf16)
     rgb_logit = dot(h, col_w2[:])  # [T, 128] f32
     rgb = 1.0 / (1.0 + jnp.exp(-rgb_logit[:, 0:3]))
 
@@ -175,7 +174,7 @@ def fused_field_eval(
     weights: FieldWeights,
     amb_dim: int = 3,
     bound: float = 1.0,
-    tile: int = 2048,
+    tile: int = 4096,
     interpret: bool = False,
 ):
     """Returns (sigma [N], rgb [N,3], ambient_pos [N, amb_dim])."""
@@ -190,26 +189,40 @@ def fused_field_eval(
     # NOTE: bound scaling of xyz is folded into pos_B (weights_from_params)
     xyz8 = pad_pts(xyz, 8)
     dirs8 = pad_pts(dirs, 8)
+
+    # per-frame constant contributions become biases (computed once, not per point)
     cond128 = jnp.zeros((1, 128), jnp.float32).at[:, :64].set(cond_feat.reshape(1, 64))
+    amb_w1p = weights.amb_w1[:256]          # pos_feat rows
+    amb_w1c = weights.amb_w1[256:]          # cond rows (padded to 128)
+    amb_bias = (cond128.astype(jnp.bfloat16) @ amb_w1c).astype(jnp.float32)  # [1, 128]
+    sig_w1p = weights.sig_w1[:256]
+    sig_w1a = weights.sig_w1[256:384]
+    col_w1s = weights.col_w1[:16]           # SH rows
+    col_w1g = weights.col_w1[16:144]        # geo rows
+    col_w1i = weights.col_w1[144:160]       # ind rows
     ind16 = jnp.zeros((1, 16), jnp.float32)
     if ind_code is not None and ind_dim > 0:
         ind16 = ind16.at[:, :ind_dim].set(ind_code.reshape(1, -1))
+    col_bias = (ind16.astype(jnp.bfloat16) @ col_w1i).astype(jnp.float32)  # [1, 128]
 
     grid = (n_pad // tile,)
     pt_spec = lambda w: pl.BlockSpec((tile, w), lambda i: (i, 0), memory_space=pltpu.VMEM)
     full = lambda a: pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim, memory_space=pltpu.VMEM)
 
+    mats = (weights.pos_B, amb_w1p, weights.amb_w2, weights.amb_w3, weights.amb_B,
+            sig_w1p, sig_w1a, weights.sig_w2, weights.sig_w3, col_w1s, col_w1g,
+            weights.col_w2)
     out = pl.pallas_call(
         functools.partial(_kernel, amb_dim, ind_dim),
         grid=grid,
         in_specs=[
-            pt_spec(8), pt_spec(8), full(cond128), full(ind16),
-            *[full(w) for w in weights],
+            pt_spec(8), pt_spec(8), full(amb_bias), full(col_bias),
+            *[full(w) for w in mats],
         ],
         out_specs=pl.BlockSpec((tile, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_pad, 128), jnp.float32),
         interpret=interpret,
-    )(xyz8, dirs8, cond128, ind16, *weights)
+    )(xyz8, dirs8, amb_bias, col_bias, *mats)
 
     out = out[:N]
     return out[:, PACK_SIGMA], out[:, PACK_RGB], out[:, pack_amb(amb_dim)]
