@@ -28,7 +28,6 @@ from typing import Dict, List, Optional
 
 import numpy as np
 
-from genefaceplusplus_tpu.data.landmarks import INDEX_LM68_FROM_LM478
 from genefaceplusplus_tpu.utils.rotation import nerf_matrix_to_ngp
 from genefaceplusplus_tpu.utils.smoothing import smooth_camera_sequence
 

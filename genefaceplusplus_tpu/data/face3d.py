@@ -18,7 +18,7 @@ pipeline and tests; `from_mat` loads the real thing.
 from __future__ import annotations
 
 import os
-from typing import Dict, Optional
+from typing import Dict
 
 import jax.numpy as jnp
 import numpy as np

@@ -9,8 +9,6 @@ functionally identical Blocks app is built instead.
 
 from __future__ import annotations
 
-import io
-import json
 import os
 import threading
 
@@ -108,8 +106,6 @@ def serve(infer, host: str = "0.0.0.0", port: int = 7860):
 
 
 def main(argv=None):
-    import argparse
-
     from genefaceplusplus_tpu.inference.cli import build_parser
     from genefaceplusplus_tpu.inference.pipeline import GeneFaceInfer
 

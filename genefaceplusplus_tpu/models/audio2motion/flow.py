@@ -10,8 +10,6 @@ Feature-last [B, T, C]; `reverse=True` inverts exactly (tested).
 
 from __future__ import annotations
 
-from typing import Optional
-
 import flax.linen as nn
 import jax.numpy as jnp
 

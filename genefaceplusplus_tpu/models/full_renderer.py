@@ -23,7 +23,6 @@ from genefaceplusplus_tpu.models.radnerf_torso import (
 )
 from genefaceplusplus_tpu.models.renderer import RenderOptions, render_rays
 from genefaceplusplus_tpu.models.superresolution import Superresolution
-from genefaceplusplus_tpu.ops.composite import normalize_depth
 
 
 class FrameOutput(NamedTuple):

@@ -19,7 +19,6 @@ from __future__ import annotations
 import dataclasses
 from typing import NamedTuple, Optional
 
-import jax
 import jax.numpy as jnp
 
 from genefaceplusplus_tpu.ops import composite as composite_ops

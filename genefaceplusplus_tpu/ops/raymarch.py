@@ -25,7 +25,6 @@ from __future__ import annotations
 import math
 from typing import NamedTuple, Optional
 
-import jax
 import jax.numpy as jnp
 
 SQRT3 = math.sqrt(3.0)

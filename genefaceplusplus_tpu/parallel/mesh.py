@@ -17,7 +17,7 @@ all-gathers/psums over ICI.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import numpy as np

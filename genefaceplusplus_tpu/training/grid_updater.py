@@ -18,7 +18,6 @@ Fourier field), chunked to bound memory.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Tuple
 
 import jax

@@ -11,16 +11,15 @@ with PSNR.
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from genefaceplusplus_tpu.data.dataset import RADNeRFDataset, get_boundary_mask
+from genefaceplusplus_tpu.data.dataset import RADNeRFDataset
 from genefaceplusplus_tpu.models.radnerf import RADNeRF, RADNeRFConfig
 from genefaceplusplus_tpu.models.renderer import RenderOptions, render_rays
-from genefaceplusplus_tpu.training import losses as L
 from genefaceplusplus_tpu.training.grid_updater import mark_untrained_grid, update_density_grid
 from genefaceplusplus_tpu.training.radnerf_task import TaskHParams, TrainState, make_train_step
 from genefaceplusplus_tpu.training.schedulers import make_radnerf_optimizer

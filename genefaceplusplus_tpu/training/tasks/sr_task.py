@@ -20,11 +20,10 @@ import optax
 
 from genefaceplusplus_tpu.data.dataset import RADNeRFDataset
 from genefaceplusplus_tpu.models.radnerf import RADNeRF, RADNeRFConfig
-from genefaceplusplus_tpu.models.renderer import RenderOptions, render_rays
+from genefaceplusplus_tpu.models.renderer import render_rays
 from genefaceplusplus_tpu.models.superresolution import Superresolution
 from genefaceplusplus_tpu.training import losses as L
 from genefaceplusplus_tpu.training.perceptual import PerceptualLoss
-from genefaceplusplus_tpu.training.schedulers import make_radnerf_optimizer
 from genefaceplusplus_tpu.training.tasks.head_task import HeadNeRFTask, HeadTaskConfig
 from genefaceplusplus_tpu.training.radnerf_task import TaskHParams
 from genefaceplusplus_tpu.utils.rays import pixel_rays

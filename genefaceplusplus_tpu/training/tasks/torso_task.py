@@ -9,7 +9,6 @@ stop_gradient), torso losses mse + alpha entropy + L1 deform regularisation
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Dict
 
 import flax.struct

@@ -15,10 +15,9 @@ from __future__ import annotations
 
 import json
 import os
-import sys
 import time
 from collections import defaultdict
-from typing import Dict, Optional
+from typing import Dict
 
 import numpy as np
 
