@@ -140,3 +140,18 @@ def test_a2m_training_reduces_loss():
         losses.append(float(metrics["mse_loss"]))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0] * 1.5  # not diverging
+
+
+def test_secc_splat_render():
+    from genefaceplusplus_tpu.data.face3d import Face3DHelper
+    from genefaceplusplus_tpu.data.secc import ncc_colors, render_secc, render_secc_from_coeffs
+
+    h = Face3DHelper.synthetic("lm68")
+    img = render_secc_from_coeffs(
+        h, np.zeros((1, 80), np.float32), np.zeros((1, 64), np.float32),
+        np.zeros((1, 3), np.float32), np.zeros((1, 3), np.float32),
+    )
+    assert img.shape == (224, 224, 3) and img.dtype == np.uint8
+    assert img.max() > 0  # something was splatted
+    c = ncc_colors(np.asarray(h.key_mean_shape))
+    assert c.min() >= 0 and c.max() <= 1
