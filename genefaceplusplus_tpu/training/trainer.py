@@ -72,6 +72,7 @@ class Trainer:
         milestone_interval: int = 100_000,
         update_extra_interval: int = 16,
         print_nan_grads: bool = False,
+        num_sanity_val_steps: int = 1,
     ):
         self.task = task
         self.work_dir = work_dir
@@ -83,6 +84,7 @@ class Trainer:
         self.milestone_interval = milestone_interval
         self.update_extra_interval = update_extra_interval
         self.print_nan_grads = print_nan_grads
+        self.num_sanity_val_steps = num_sanity_val_steps
         os.makedirs(work_dir, exist_ok=True)
         self.logger = TeeLogger(work_dir)
         self.metrics_file = open(os.path.join(work_dir, "metrics.jsonl"), "a")
@@ -117,6 +119,12 @@ class Trainer:
                 state = _from_dict(task.create_state(), state)
                 task.load_extra_state(ckpt.get("extra_state", {}))
                 start_step = int(ckpt["global_step"])
+
+        # sanity validation before training (trainer.py:312-314 parity)
+        if self.num_sanity_val_steps > 0 and start_step == 0:
+            sanity = task.validate(state, max_frames=self.num_sanity_val_steps)
+            if sanity:
+                self.logger.log(f"| sanity val: {sanity}")
 
         meters = Meters()
         t0 = time.time()
