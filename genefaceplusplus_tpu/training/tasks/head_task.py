@@ -35,6 +35,14 @@ class HeadTaskConfig:
     num_coarse: int = 48
     num_samples: int = 16
     grid_decay: float = 0.95
+    # lip finetuning (reference finetune_lips, radnerf.py:123-160): from
+    # finetune_lips_start_iter, alternate iterations sample a static lip
+    # window and add a perceptual loss on it
+    finetune_lips: bool = True
+    finetune_lips_start_iter: int = 200_000
+    lip_window: int = 64  # static window side (reference uses the dynamic
+    # lip_rect; a fixed window centred on it keeps shapes static under jit)
+    lambda_lpips: float = 0.01
 
     @classmethod
     def from_hparams(cls, hp) -> "HeadTaskConfig":
@@ -45,6 +53,9 @@ class HeadTaskConfig:
             lr=get("lr", 5e-4),
             warmup_updates=get("warmup_updates", 0),
             max_steps=get("max_steps", 16),
+            finetune_lips=get("finetune_lips", True),
+            finetune_lips_start_iter=get("finetune_lips_start_iter", 200_000),
+            lambda_lpips=get("lambda_lpips_loss", 0.01),
         )
 
 
@@ -70,6 +81,8 @@ class HeadNeRFTask:
             perturb=True,
         )
         self._train_step = jax.jit(make_train_step(self.model, self.tx, self.opts, hp))
+        self._lip_step = None  # compiled lazily on first lip-finetune batch
+        self._finetune_lip_flag = False
         self.np_rng = np.random.RandomState(seed)
         self.seed = seed
 
@@ -104,12 +117,37 @@ class HeadNeRFTask:
             self._face_masks[idx] = mask
         return self._face_masks[idx]
 
-    def sample_train_batch(self) -> Dict[str, jnp.ndarray]:
+    def _lip_window_indices(self, idx: int) -> np.ndarray:
+        """Static-size pixel window centred on the frame's lip rect."""
+        ds = self.dataset
+        win = min(self.task_cfg.lip_window, ds.H, ds.W)
+        rect = ds.samples[idx].get("lip_rect", [0, ds.H, 0, ds.W])
+        sc = ds.H / int(ds.ds["H"])
+        cy = int((rect[0] + rect[1]) / 2 * sc)
+        cx = int((rect[2] + rect[3]) / 2 * sc)
+        y0 = int(np.clip(cy - win // 2, 0, ds.H - win))
+        x0 = int(np.clip(cx - win // 2, 0, ds.W - win))
+        rows = np.arange(y0, y0 + win)
+        cols = np.arange(x0, x0 + win)
+        return (rows[:, None] * ds.W + cols[None, :]).reshape(-1)
+
+    def sample_train_batch(self, global_step: int = 0) -> Dict[str, jnp.ndarray]:
         ds = self.dataset
         idx = int(self.np_rng.randint(len(ds)))
-        n = self.task_cfg.n_rays
         H, W = ds.H, ds.W
-        inds = self.np_rng.randint(0, H * W, size=n)
+        lip_active = (
+            self.task_cfg.finetune_lips
+            and global_step > self.task_cfg.finetune_lips_start_iter
+        )
+        if lip_active:
+            # alternate lip-window and full-image iterations (radnerf.py:158-160)
+            self._finetune_lip_flag = not self._finetune_lip_flag
+        if lip_active and self._finetune_lip_flag:
+            inds = self._lip_window_indices(idx)
+            n = len(inds)
+        else:
+            n = self.task_cfg.n_rays
+            inds = self.np_rng.randint(0, H * W, size=n)
 
         from genefaceplusplus_tpu.utils.rays import pixel_rays
 
@@ -123,7 +161,7 @@ class HeadNeRFTask:
         bg_flat = ds.bg_img.reshape(-1, 3)[inds]
         face_mask = self._face_mask(idx).reshape(-1)[inds]
 
-        return {
+        batch = {
             "rays_o": rays_o[0],
             "rays_d": rays_d[0],
             "cond": jnp.asarray(ds.frame_cond_window(idx)),
@@ -133,13 +171,68 @@ class HeadNeRFTask:
             "idx": idx,
             "eye_area_percent": jnp.asarray(ds.eye_area_percents[idx : idx + 1]),
         }
+        batch["_is_lip"] = bool(lip_active and self._finetune_lip_flag) if lip_active else False
+        return batch
 
     # ------------------------------------------------------------------
+    def _make_lip_step(self):
+        """Lip-window step: mse + perceptual on the [win, win] crop."""
+        import optax
+
+        from genefaceplusplus_tpu.models.renderer import render_rays
+        from genefaceplusplus_tpu.training import losses as L
+        from genefaceplusplus_tpu.training.perceptual import PerceptualLoss
+
+        model, tx, opts, cfg = self.model, self.tx, self.opts, self.cfg
+        win = min(self.task_cfg.lip_window, self.dataset.H, self.dataset.W)
+        lam = self.task_cfg.lambda_lpips
+        perceptual = PerceptualLoss(seed=0)
+
+        def loss_fn(params, batch, occupancy, noise):
+            cond_feat = model.apply(params, batch["cond"], batch.get("eye_area_percent"),
+                                    method=RADNeRF.cal_cond_feat)
+            ind = model.apply(params, batch["idx"], method=RADNeRF.get_individual_code)
+
+            def field_fn(xyz, dirs):
+                return model.apply(params, xyz, dirs, cond_feat, ind, method=RADNeRF.field)
+
+            out = render_rays(field_fn, batch["rays_o"], batch["rays_d"], occupancy,
+                              bound=cfg.bound, min_near=cfg.min_near,
+                              bg_color=batch["bg_color"], opts=opts, noise=noise)
+            mse = L.mse_loss(out.rgb_map, batch["gt_rgb"])
+            pred = out.rgb_map.reshape(1, win, win, 3)
+            gt = batch["gt_rgb"].reshape(1, win, win, 3)
+            lp = perceptual(pred, gt)
+            total = mse + lam * lp
+            return total, {"mse_loss": mse, "lpips_loss": lp,
+                           "head_psnr": L.mse2psnr(mse), "total_loss": total}
+
+        def step(state: TrainState, batch, occupancy):
+            rng, sub = jax.random.split(state.rng)
+            noise = jax.random.uniform(sub, batch["rays_o"].shape[:1]) if opts.perturb else None
+            (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params, batch, occupancy, noise)
+            updates, new_opt = tx.update(grads, state.opt_state, state.params)
+            new_params = optax.apply_updates(state.params, updates)
+            metrics["lambda_ambient"] = state.lambda_ambient
+            return TrainState(new_params, new_opt, state.global_step + 1,
+                              state.lambda_ambient, rng), metrics
+
+        return jax.jit(step)
+
     def train_step(self, state: TrainState, batch):
+        if batch.pop("_is_lip", False):
+            if self._lip_step is None:
+                self._lip_step = self._make_lip_step()
+            return self._lip_step(state, batch, self.occupancy)
         return self._train_step(state, batch, self.occupancy)
 
     def update_extra_state(self, state: TrainState):
-        """Density-grid EMA refresh with a random condition (renderer.py:201-284)."""
+        """Density-grid EMA refresh with a random condition (renderer.py:201-284).
+        Skipped during lip finetuning (radnerf.py:184-188)."""
+        if (self.task_cfg.finetune_lips
+                and int(state.global_step) > self.task_cfg.finetune_lips_start_iter):
+            return
         ds = self.dataset
         idx = int(self.np_rng.randint(len(ds)))
         cond = jnp.asarray(ds.frame_cond_window(idx))

@@ -132,7 +132,10 @@ class Trainer:
             if step % self.update_extra_interval == 0:
                 task.update_extra_state(state)
 
-            batch = task.sample_train_batch()
+            try:
+                batch = task.sample_train_batch(global_step=step)
+            except TypeError:
+                batch = task.sample_train_batch()
             state, metrics = task.train_step(state, batch)
             meters.update(metrics)
 

@@ -99,3 +99,36 @@ def test_training_resume(tmp_path):
                  val_check_interval=15, tb_log_interval=5, update_extra_interval=100)
     state = t2.fit(resume=True)
     assert int(state.global_step) == 15
+
+
+def test_lip_finetune_stage(tmp_path):
+    """After finetune_lips_start_iter, alternating iterations use the static
+    lip window and the perceptual step (reference radnerf.py:123-160)."""
+    from genefaceplusplus_tpu.training.tasks.head_task import HeadNeRFTask, HeadTaskConfig
+    from genefaceplusplus_tpu.models.radnerf import RADNeRFConfig
+
+    ds = RADNeRFDataset(synthetic(num_frames=8, H=24, W=24), split="train",
+                        smo_win_size=3, with_sr=False)
+    mcfg = RADNeRFConfig(
+        grid_size=16, individual_embedding_num=16, smo_win_size=3,
+        fourier_pos_features=16, fourier_amb_features=8,
+        hidden_dim_sigma=32, hidden_dim_ambient=32, hidden_dim_color=32, geo_feat_dim=16,
+    )
+    tcfg = HeadTaskConfig(n_rays=128, num_coarse=12, num_samples=6,
+                          finetune_lips=True, finetune_lips_start_iter=0,
+                          lip_window=16, lambda_lpips=0.01)
+    task = HeadNeRFTask(ds, mcfg, tcfg, TaskHParams())
+    state = task.create_state()
+
+    # step 1 (global_step=1 > 0): flag toggles True -> lip batch
+    b1 = task.sample_train_batch(global_step=1)
+    assert b1["_is_lip"] is True
+    assert b1["rays_o"].shape[0] == 16 * 16
+    state, m1 = task.train_step(state, b1)
+    assert "lpips_loss" in m1 and np.isfinite(float(m1["total_loss"]))
+    # next iteration flips back to full-image sampling
+    b2 = task.sample_train_batch(global_step=2)
+    assert b2["_is_lip"] is False
+    assert b2["rays_o"].shape[0] == 128
+    state, m2 = task.train_step(state, b2)
+    assert "lpips_loss" not in m2
