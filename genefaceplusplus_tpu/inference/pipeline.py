@@ -335,6 +335,33 @@ class GeneFaceInfer:
 
         return jax.jit(frame_fn)
 
+    def _build_chunk_fn(self, opts: RenderOptions, H: int, W: int, chunk: int):
+        """Render `chunk` frames in ONE device dispatch (lax.scan): host
+        dispatch latency would otherwise dominate the production frame loop
+        (docs/DESIGN.md: ~26 ms/dispatch through the TPU tunnel)."""
+        head_model, torso_model, sr_model = self.head_model, self.torso_model, self.sr_model
+
+        def chunk_fn(head_params, torso_params, sr_params, rays_o, rays_d,
+                     cond_wins, eye_areas, occupancy, bg_color, bg_coords, lm68s):
+            # rays_o/d: [C, R, 3]; cond_wins: [C, smo, 1, F]; lm68s: [C, 1, 68, 2]
+            def body(_, xs):
+                ro, rd, cw, ea, lm = xs
+                out = render_full_frame(
+                    head_model, head_params, ro, rd, cw, occupancy,
+                    bg_color=bg_color, opts=opts, image_hw=(H, W),
+                    eye_area_percent=ea, index=0,
+                    torso_model=torso_model, torso_params=torso_params,
+                    bg_coords=bg_coords, lm68=lm,
+                    sr_model=sr_model, sr_params=sr_params,
+                )
+                img = out.sr_rgb_map if out.sr_rgb_map is not None else out.rgb_map.reshape(H, W, 3)
+                return 0, img
+
+            _, imgs = jax.lax.scan(body, 0, (rays_o, rays_d, cond_wins, eye_areas, lm68s))
+            return imgs  # [C, H', W', 3]
+
+        return jax.jit(chunk_fn)
+
     def forward_secc2video(self, batch: Dict[str, Any], inp: Dict[str, Any]) -> str:
         ds = self.dataset
         H, W = ds.H, ds.W
@@ -343,25 +370,33 @@ class GeneFaceInfer:
             num_coarse=48, num_samples=16,
             T_thresh=float(inp.get("T_thresh", 1e-2)),
         )
-        frame_fn = self._build_frame_fn(opts, H, W)
+        chunk = int(inp.get("frames_per_dispatch", 8))
+        chunk = max(1, min(chunk, T))
+        chunk_fn = self._build_chunk_fn(opts, H, W, chunk)
         bg_coords = get_bg_coords(H, W)[0]
         bg_color = jnp.asarray(ds.bg_img.reshape(-1, 3))
         conds = jnp.asarray(batch["cond"])  # [T, 1, 204]
         cond_windows = get_audio_features_batch(conds, jnp.arange(T), self.head_cfg.smo_win_size)
+        eye_areas = jnp.asarray(batch["eye_area_percent"])  # [T, 1]
+        lm68s = jnp.asarray(batch["lm68"], jnp.float32)  # [T, 68, 2]
 
         tmp_video = os.path.splitext(inp["out_name"])[0] + "_novoice.mp4"
         writer = StreamingVideoWriter(tmp_video, fps=25)
-        for i in range(T):
-            pose = jnp.asarray(batch["poses"][i : i + 1])
-            rays_o, rays_d, _ = pixel_rays(pose, ds.intrinsics, H, W)
-            img = frame_fn(
+        for start in range(0, T, chunk):
+            idxs = [min(start + j, T - 1) for j in range(chunk)]  # pad tail
+            n_real = min(chunk, T - start)
+            poses = jnp.asarray(batch["poses"][idxs])  # [C, 4, 4]
+            rays_o, rays_d, _ = pixel_rays(poses, ds.intrinsics, H, W)
+            imgs = chunk_fn(
                 self.head_params, self.torso_params, self.sr_params,
-                rays_o[0], rays_d[0], cond_windows[i],
-                jnp.asarray(batch["eye_area_percent"][i : i + 1]),
+                rays_o, rays_d, cond_windows[jnp.asarray(idxs)],
+                eye_areas[jnp.asarray(idxs)][:, None, :],
                 self.occupancy, bg_color, bg_coords,
-                jnp.asarray(batch["lm68"][i : i + 1]),
+                lm68s[jnp.asarray(idxs)][:, None],
             )
-            writer.append(np.asarray(img))
+            imgs = np.asarray(imgs)
+            for j in range(n_real):
+                writer.append(imgs[j])
         writer.close()
 
         wav_path = os.path.splitext(inp["out_name"])[0] + "_audio.wav"
