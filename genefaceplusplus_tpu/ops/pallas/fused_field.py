@@ -174,7 +174,7 @@ def fused_field_eval(
     weights: FieldWeights,
     amb_dim: int = 3,
     bound: float = 1.0,
-    tile: int = 4096,
+    tile: int = 1024,
     interpret: bool = False,
 ):
     """Returns (sigma [N], rgb [N,3], ambient_pos [N, amb_dim])."""
@@ -221,6 +221,12 @@ def fused_field_eval(
         ],
         out_specs=pl.BlockSpec((tile, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_pad, 128), jnp.float32),
+        # tiles > 1024 need the scoped-VMEM cap raised (Mosaic keeps all
+        # chained intermediates live); measured: tile=4096 @100MB runs at
+        # ~18ms/1M pts, tile=2048 thrashes — see docs/DESIGN.md
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=(100 * 2 ** 20 if tile > 1024 else None)
+        ) if tile > 1024 else None,
         interpret=interpret,
     )(xyz8, dirs8, amb_bias, col_bias, *mats)
 
