@@ -94,6 +94,7 @@ class HeadNeRFTask:
         self.mean_density = 0.0
         self._grid_rng = jax.random.PRNGKey(seed + 1)
 
+        self.grid_telemetry: Dict[str, float] = {}
         # precompute per-frame face masks lazily
         self._face_masks: Dict[int, np.ndarray] = {}
 
@@ -224,8 +225,11 @@ class HeadNeRFTask:
         if batch.pop("_is_lip", False):
             if self._lip_step is None:
                 self._lip_step = self._make_lip_step()
-            return self._lip_step(state, batch, self.occupancy)
-        return self._train_step(state, batch, self.occupancy)
+            state, metrics = self._lip_step(state, batch, self.occupancy)
+        else:
+            state, metrics = self._train_step(state, batch, self.occupancy)
+        metrics.update(self.grid_telemetry)
+        return state, metrics
 
     def update_extra_state(self, state: TrainState):
         """Density-grid EMA refresh with a random condition (renderer.py:201-284).
@@ -250,6 +254,11 @@ class HeadNeRFTask:
             density_thresh=self.cfg.density_thresh,
         )
         self.mean_density = float(mean_d)
+        # telemetry (reference density_grid_info, radnerf.py:203-212)
+        self.grid_telemetry = {
+            "density_grid/mean_density": self.mean_density,
+            "density_grid/occupancy_rate": float(jnp.mean(self.occupancy)),
+        }
 
     # ------------------------------------------------------------------
     def validate(self, state: TrainState, max_frames: int = 2,
