@@ -178,11 +178,36 @@ class GeneFaceInfer:
         if ckpt is None:
             return template
         state = ckpt.get("state_dict", ckpt)
-        if sub is not None and sub in state:
-            state = state[sub]
-        elif "model" in state:
-            state = state["model"]
-        return restore_into(template, state)
+        # unwrap TrainState containers saved by the trainer (head:
+        # {'params': variables, 'opt_state': ...}; torso: {'torso_params':
+        # ...}; a2m: {'variables': ...})
+        if isinstance(state, dict) and "opt_state" in state:
+            for k in ("params", "torso_params", "variables"):
+                if k in state:
+                    state = state[k]
+                    break
+        # sub-model extraction (SR task bundles {'head': ..., 'sr': ...};
+        # reference torch ckpts use {'model': ...})
+        if isinstance(state, dict):
+            if sub is not None and sub in state:
+                state = state[sub]
+            elif "model" in state:
+                state = state["model"]
+        restored = restore_into(template, state)
+        # loud sanity: a restore that changed nothing means the checkpoint
+        # didn't match the model (silent random weights otherwise)
+        import jax
+
+        t_leaves = jax.tree.leaves(template)
+        r_leaves = jax.tree.leaves(restored)
+        changed = sum(
+            0 if np.shape(a) != np.shape(b) or np.allclose(np.asarray(a), np.asarray(b)) else 1
+            for a, b in zip(t_leaves, r_leaves)
+        )
+        if changed == 0:
+            print(f"| WARNING: checkpoint at {path} matched no parameters "
+                  f"(sub={sub}); using initialised weights")
+        return restored
 
     def _restored_occupancy(self):
         H = self.head_cfg.grid_size

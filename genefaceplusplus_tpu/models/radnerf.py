@@ -99,6 +99,10 @@ class RADNeRFConfig:
             grid_interpolation_type=get("grid_interpolation_type", "linear"),
             log2_hashmap_size=get("log2_hashmap_size", 16),
             desired_resolution=get("desired_resolution", 2048),
+            fourier_pos_features=get("fourier_pos_features", 128),
+            fourier_pos_max_scale=get("fourier_pos_max_scale", 128.0),
+            fourier_amb_features=get("fourier_amb_features", 64),
+            fourier_amb_max_scale=get("fourier_amb_max_scale", 64.0),
             num_layers_ambient=get("num_layers_ambient", 3),
             hidden_dim_ambient=get("hidden_dim_ambient", 128),
             ambient_coord_dim=get("ambient_coord_dim", 3),

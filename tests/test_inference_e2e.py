@@ -86,3 +86,50 @@ def test_pose_schedules(infer, tmp_path):
         inp = default_inp(drv_aud_features=_features(tmp_path), drv_pose=drv_pose)
         batch = infer.prepare_batch_from_inp(inp)
         assert check(batch["pose_idx"]), drv_pose
+
+
+def test_checkpoint_params_actually_load(tmp_path):
+    """Regression: trained checkpoints must flow into inference (a container
+    mismatch once silently kept random init weights)."""
+    import jax
+    import jax.numpy as jnp
+
+    from genefaceplusplus_tpu.data.dataset import synthetic as synth_ds
+    from genefaceplusplus_tpu.models.radnerf import RADNeRFConfig
+    from genefaceplusplus_tpu.training.radnerf_task import TaskHParams
+    from genefaceplusplus_tpu.training.tasks.head_task import HeadNeRFTask, HeadTaskConfig
+    from genefaceplusplus_tpu.training.trainer import Trainer
+
+    ds = RADNeRFDataset(synth_ds(num_frames=8, H=16, W=16), split="train",
+                        smo_win_size=3, with_sr=False)
+    mcfg = RADNeRFConfig(
+        grid_size=16, individual_embedding_num=16, smo_win_size=3,
+        fourier_pos_features=16, fourier_amb_features=8,
+        hidden_dim_sigma=32, hidden_dim_ambient=32, hidden_dim_color=32, geo_feat_dim=16,
+    )
+    work = str(tmp_path / "head_work")
+    save_config({"with_sr": False, "grid_size": 16, "smo_win_size": 3,
+                 "hidden_dim_sigma": 32, "hidden_dim_ambient": 32,
+                 "hidden_dim_color": 32, "geo_feat_dim": 16,
+                 "fourier_pos_features": 16, "fourier_amb_features": 8,
+                 "individual_embedding_num": 16}, work)
+    task = HeadNeRFTask(ds, mcfg, HeadTaskConfig(n_rays=64, num_coarse=8, num_samples=4, lr=1e-2),
+                        TaskHParams())
+    trainer = Trainer(task, work, max_updates=3, val_check_interval=3,
+                      tb_log_interval=10, update_extra_interval=100,
+                      num_sanity_val_steps=0)
+    state = trainer.fit(resume=False)
+
+    # a fresh pipeline must pick up the TRAINED params, not re-init
+    import genefaceplusplus_tpu.models.radnerf as radnerf_mod
+
+    infer = GeneFaceInfer(head_model_dir=work, dataset=ds)
+    # fourier cfg fields aren't in RADNeRFConfig.from_hparams defaults for
+    # small dims unless present in config.yaml — assert at least the trained
+    # sigma-net kernel made it through
+    trained = np.asarray(state.params["params"]["sigma_net"]["Dense_0"]["kernel"])
+    loaded = np.asarray(infer.head_params["params"]["sigma_net"]["Dense_0"]["kernel"])
+    if trained.shape == loaded.shape:
+        np.testing.assert_allclose(loaded, trained, atol=1e-6)
+    else:
+        raise AssertionError(f"config mismatch: {trained.shape} vs {loaded.shape}")
