@@ -140,8 +140,10 @@ class GeneFaceInfer:
         else:
             self.opened_eye_area_percent, self.closed_eye_area_percent = 0.6, 0.15
 
-        # occupancy: restored from ckpt state if present, else fully occupied
-        self.occupancy = self._restored_occupancy()
+        # occupancy grids: restored from ckpt extra_state if present
+        self.occupancy, self.torso_occupancy_2d = self._restored_occupancy(
+            head_model_dir or torso_model_dir, torso_model_dir
+        )
 
         self._jit_frame = None
 
@@ -209,9 +211,23 @@ class GeneFaceInfer:
                   f"(sub={sub}); using initialised weights")
         return restored
 
-    def _restored_occupancy(self):
+    def _restored_occupancy(self, head_dir, torso_dir):
+        """Occupancy (head 3D) + torso 2D alpha grid from checkpoint
+        extra_state (trainer.save payload); fully-occupied fallbacks."""
         H = self.head_cfg.grid_size
-        return jnp.ones((H, H, H), dtype=bool)
+        occ = jnp.ones((H, H, H), dtype=bool)
+        torso2d = None
+        if head_dir:
+            ckpt, _ = get_last_checkpoint(head_dir)
+            extra = (ckpt or {}).get("extra_state", {})
+            if "occupancy" in extra and np.asarray(extra["occupancy"]).ndim == 3:
+                occ = jnp.asarray(extra["occupancy"]).astype(bool)
+        if torso_dir:
+            ckpt, _ = get_last_checkpoint(torso_dir)
+            extra = (ckpt or {}).get("extra_state", {})
+            if "torso_grid" in extra:
+                torso2d = jnp.asarray(extra["torso_grid"])
+        return occ, torso2d
 
     # ------------------------------------------------------------------
     def prepare_batch_from_inp(self, inp: Dict[str, Any]) -> Dict[str, Any]:
@@ -365,6 +381,7 @@ class GeneFaceInfer:
         dispatch latency would otherwise dominate the production frame loop
         (docs/DESIGN.md: ~26 ms/dispatch through the TPU tunnel)."""
         head_model, torso_model, sr_model = self.head_model, self.torso_model, self.sr_model
+        torso_occ2d = self.torso_occupancy_2d
 
         def chunk_fn(head_params, torso_params, sr_params, rays_o, rays_d,
                      cond_wins, eye_areas, occupancy, bg_color, bg_coords, lm68s):
@@ -376,7 +393,7 @@ class GeneFaceInfer:
                     bg_color=bg_color, opts=opts, image_hw=(H, W),
                     eye_area_percent=ea, index=0,
                     torso_model=torso_model, torso_params=torso_params,
-                    bg_coords=bg_coords, lm68=lm,
+                    bg_coords=bg_coords, lm68=lm, occupancy_2d=torso_occ2d,
                     sr_model=sr_model, sr_params=sr_params,
                 )
                 img = out.sr_rgb_map if out.sr_rgb_map is not None else out.rgb_map.reshape(H, W, 3)
