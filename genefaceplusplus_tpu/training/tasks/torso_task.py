@@ -114,11 +114,20 @@ class TorsoNeRFTask:
             mse = L.mse_loss(out.rgb_map, batch["gt_rgb"])
             alpha = jnp.clip(out.torso_alpha[:, 0], 1e-5, 1 - 1e-5)
             went = jnp.mean(-alpha * jnp.log2(alpha) - (1 - alpha) * jnp.log2(1 - alpha))
-            # re-run deform for reg? render_full_frame doesn't expose deform;
-            # regularise via the torso field's deform at the batch coords
             total = mse + lambda_we * went
             metrics = {"mse_loss": mse, "torso_entropy": went,
                        "head_psnr": L.mse2psnr(mse), "total_loss": total}
+            if lambda_deform > 0:
+                # L1 deformation regulariser (radnerf_torso_sr task,
+                # lambda_torso_deform) on a coordinate subsample
+                ind = torso_model.apply(torso_params, 0, method=TorsoField.get_individual_code)
+                t_out = torso_model.apply(
+                    torso_params, batch["bg_coords"][::16], batch["lm68"], ind, None, None
+                )
+                deform_reg = jnp.abs(t_out.deform).mean()
+                total = total + lambda_deform * deform_reg
+                metrics["deform_reg"] = deform_reg
+                metrics["total_loss"] = total
             return total, metrics
 
         def step(state: TorsoTrainState, batch, head_params, occupancy):
