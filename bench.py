@@ -44,7 +44,7 @@ def _setup():
     return cfg, head, head_params, cond, rays["rays_o"][0], rays["rays_d"][0], occupancy, H, W
 
 
-def bench_full(n_frames: int = 20):
+def bench_full(n_frames: int = 50):
     import jax
     import jax.numpy as jnp
 
@@ -65,15 +65,21 @@ def bench_full(n_frames: int = 20):
     sr = Superresolution(channels=3, input_resolution=H)
     sr_params = sr.init(jax.random.PRNGKey(3), jnp.zeros((1, H, W, 3)))
     occ2d = jnp.ones((cfg.grid_size, cfg.grid_size)) * 0.5
+    bg_color = jnp.ones((H * W, 3))
     opts = RenderOptions(num_samples=16, T_thresh=1e-2, march_mode="interval")
 
+    # every array is a jit ARGUMENT: arrays captured as closure constants
+    # get constant-folded by XLA at compile time, which blows the compile
+    # of the 65k-ray marching arithmetic past the driver timeout (this was
+    # the round-1 full-pipeline pathology).
     @jax.jit
-    def run(head_params, torso_params, sr_params, cond, occ):
+    def run(head_params, torso_params, sr_params, cond, occ, ro, rd,
+            bg_coords, bg_color, lm68, occ2d):
         def body(carry, i):
             c = cond + 1e-3 * i + 1e-12 * carry
             out = render_full_frame(
                 head, head_params, ro, rd, c, occ,
-                bg_color=jnp.ones((H * W, 3)), opts=opts, image_hw=(H, W),
+                bg_color=bg_color, opts=opts, image_hw=(H, W),
                 torso_model=torso, torso_params=torso_params,
                 bg_coords=bg_coords, lm68=lm68, occupancy_2d=occ2d,
                 sr_model=sr, sr_params=sr_params,
@@ -83,11 +89,16 @@ def bench_full(n_frames: int = 20):
         tot, _ = jax.lax.scan(body, 0.0, jnp.arange(n_frames, dtype=jnp.float32))
         return tot
 
-    float(run(head_params, torso_params, sr_params, cond, occ))  # compile
-    t0 = time.perf_counter()
-    float(run(head_params, torso_params, sr_params, cond + 0.01, occ))
-    dt = time.perf_counter() - t0 - 0.026
-    return n_frames / dt, "full_pipeline_fps_512"
+    args = (head_params, torso_params, sr_params, cond, occ, ro, rd,
+            bg_coords, bg_color, lm68, occ2d)
+    float(run(*args))  # compile
+    best = float("inf")
+    for k in (1, 2, 3):  # vary cond: the tunnel memoizes identical dispatches
+        t0 = time.perf_counter()
+        float(run(head_params, torso_params, sr_params, cond + 0.01 * k, occ,
+                  ro, rd, bg_coords, bg_color, lm68, occ2d))
+        best = min(best, time.perf_counter() - t0 - 0.026)
+    return n_frames / best, "full_pipeline_fps_512"
 
 
 def bench_head(n_frames: int = 25):
@@ -122,21 +133,22 @@ def bench_head(n_frames: int = 25):
         return tot
 
     float(run(head_params, ro, rd, cond, occ))
-    t0 = time.perf_counter()
-    float(run(head_params, ro, rd, cond + 0.01, occ))
-    dt = time.perf_counter() - t0 - 0.026
-    return n_frames / dt, "head_nerf_render_fps_256"
+    best = float("inf")
+    for k in (1, 2, 3):
+        t0 = time.perf_counter()
+        float(run(head_params, ro, rd, cond + 0.01 * k, occ))
+        best = min(best, time.perf_counter() - t0 - 0.026)
+    return n_frames / best, "head_nerf_render_fps_256"
 
 
 def main():
+    # failures must be loud: no fallback — if the full pipeline bench breaks
+    # the driver must see the traceback, not a mislabeled head-only number
     mode = os.environ.get("BENCH_MODE", "full")
-    try:
-        if mode == "head":
-            fps, metric = bench_head()
-        else:
-            fps, metric = bench_full()
-    except Exception:
+    if mode == "head":
         fps, metric = bench_head()
+    else:
+        fps, metric = bench_full()
     print(json.dumps({
         "metric": metric,
         "value": round(fps, 2),

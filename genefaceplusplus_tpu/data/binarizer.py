@@ -123,6 +123,10 @@ def binarize(
                 "gt_img_fname": os.path.join(processed_dir, "com_imgs", f"{idx:08d}.jpg"),
                 "face_rect": get_face_rect(lm2d[idx], H, W),
                 "lip_rect": get_lip_rect(lm2d[idx], H, W),
+                # normalised lm68 for the convex-hull face mask
+                # (dataset_utils.py:77-91)
+                "lms": (lm2d[idx] / np.asarray([W, H])).astype(np.float32)
+                if lm2d[idx].max() > 1.5 else lm2d[idx].astype(np.float32),
                 "c2w": c2w[idx],
             })
         ret[split] = samples

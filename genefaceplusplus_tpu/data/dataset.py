@@ -135,8 +135,9 @@ class RADNeRFDataset:
         win[~valid] = 0.0
         return win
 
-    def load_image(self, i: int, kind: str = "gt") -> Optional[np.ndarray]:
-        """Load gt/head/torso image for frame i as float [H, W, 3] in [0,1]."""
+    def load_image(self, i: int, kind: str = "gt", with_alpha: bool = False) -> Optional[np.ndarray]:
+        """Load gt/head/torso image for frame i as float [H, W, 3] in [0,1]
+        (or [H, W, 4] with `with_alpha` when the stored image has alpha)."""
         import cv2
 
         fname = self.samples[i].get(f"{kind}_img_fname")
@@ -146,12 +147,29 @@ class RADNeRFDataset:
                 return None
             img = np.asarray(arr, np.float32)
         else:
-            img = cv2.cvtColor(cv2.imread(fname, cv2.IMREAD_UNCHANGED), cv2.COLOR_BGR2RGB).astype(np.float32)
+            raw = cv2.imread(fname, cv2.IMREAD_UNCHANGED)
+            if raw.shape[-1] == 4:
+                img = np.concatenate(
+                    [cv2.cvtColor(raw[..., :3], cv2.COLOR_BGR2RGB), raw[..., 3:]], -1
+                ).astype(np.float32)
+            else:
+                img = cv2.cvtColor(raw, cv2.COLOR_BGR2RGB).astype(np.float32)
         if img.max() > 1.5:
             img = img / 255.0
         if img.shape[0] != self.H:
             img = cv2.resize(img, (self.W, self.H))
-        return img[..., :3]
+        return img if (with_alpha and img.shape[-1] == 4) else img[..., :3]
+
+    def frame_bg_torso(self, i: int) -> Optional[np.ndarray]:
+        """Inpainted-torso image composited over the static background —
+        the head task's per-frame render background ("torso as part of
+        background", dataset_utils.py:400-412). None when no torso images
+        were prepared (segmentation step not run)."""
+        t = self.load_image(i, "torso", with_alpha=True)
+        if t is None or t.shape[-1] != 4:
+            return None
+        alpha = t[..., 3:]
+        return t[..., :3] * alpha + self.bg_img * (1.0 - alpha)
 
 
 def synthetic(
@@ -161,6 +179,11 @@ def synthetic(
     rng = np.random.RandomState(seed)
     T = num_frames
     lm = rng.randn(T, 204).astype(np.float32) * 0.1
+    # normalised 2D landmarks on an ellipse around the image centre (for
+    # the convex-hull face mask), jittered per frame
+    theta = np.linspace(0, 2 * np.pi, 68, endpoint=False)
+    base_lms = np.stack([0.5 + 0.2 * np.cos(theta), 0.5 + 0.25 * np.sin(theta)], -1)
+    lms = (base_lms[None] + rng.randn(T, 68, 2) * 0.005).astype(np.float32)
     c2w = np.tile(np.eye(4, dtype=np.float32)[None], (T, 1, 1))
     c2w[:, 2, 3] = 0.6  # camera in front of the face
     c2w[:, 0, 3] = 0.05 * np.sin(np.linspace(0, 2 * np.pi, T))
@@ -170,6 +193,7 @@ def synthetic(
             "c2w": c2w[i],
             "face_rect": [H // 4, 3 * H // 4, W // 4, 3 * W // 4],
             "lip_rect": [H // 2, 3 * H // 4, W // 3, 2 * W // 3],
+            "lms": lms[i],
             "gt_img": rng.rand(H, W, 3).astype(np.float32),
         }
         for i in range(T)

@@ -56,28 +56,88 @@ def step_audio(out_dir: str) -> None:
         print("| hubert weights unavailable — provide aud_hubert.npy separately")
 
 
-def step_landmarks(out_dir: str) -> None:
-    """Mediapipe 478-pt landmarks -> lms_2d.npy (gated)."""
+def _load_frames_rgb(out_dir: str):
+    import cv2
+
+    frame_dir = os.path.join(out_dir, "gt_imgs")
+    names = sorted(os.listdir(frame_dir))
+    for name in names:
+        yield name, cv2.cvtColor(cv2.imread(os.path.join(frame_dir, name)), cv2.COLOR_BGR2RGB)
+
+
+def step_landmarks(out_dir: str, mp_model_path: str = None) -> None:
+    """Mediapipe 478-pt landmarks -> lms_2d.npy [T, 478, 2] pixel coords,
+    dual IMAGE+VIDEO mode fused per region (face_landmarker.py:44-126)."""
+    lm_path = os.path.join(out_dir, "lms_2d.npy")
     try:
-        import mediapipe  # noqa: F401
-    except ImportError:
-        if os.path.exists(os.path.join(out_dir, "lms_2d.npy")):
-            print("| mediapipe absent; using existing lms_2d.npy")
+        from genefaceplusplus_tpu.data.mp_extract import MediapipeLandmarker
+
+        landmarker = MediapipeLandmarker(mp_model_path)
+    except (RuntimeError, FileNotFoundError) as e:
+        if os.path.exists(lm_path):
+            print(f"| landmarker unavailable ({e}); using existing lms_2d.npy")
             return
-        raise RuntimeError(
-            "mediapipe is not installed in this image; provide lms_2d.npy "
-            "([T, 478, 2] pixel coords) computed elsewhere."
+        raise
+    frames = [img for _, img in _load_frames_rgb(out_dir)]
+    lms = landmarker.extract_fused_lm478(frames)
+    np.save(lm_path, lms.astype(np.float32))
+    print(f"| wrote {lm_path} {lms.shape}")
+
+
+def step_segment(out_dir: str, mp_model_path: str = None) -> None:
+    """Segmentation-guided data prep (extract_segment_imgs.py): per-frame
+    segmaps + head/torso/person RGBA crops + inpainted torso images + KNN
+    background + com_imgs (person composited over the background).
+
+    Segmaps come from mediapipe when available, else from precomputed
+    segmaps/ pngs."""
+    import cv2
+
+    from genefaceplusplus_tpu.data import segmenter as seg_lib
+
+    seg_dir = os.path.join(out_dir, "segmaps")
+    names_frames = list(_load_frames_rgb(out_dir))
+    names = [n for n, _ in names_frames]
+    frames = [f for _, f in names_frames]
+
+    have_pngs = os.path.isdir(seg_dir) and len(os.listdir(seg_dir)) >= len(names)
+    if have_pngs:
+        print("| using precomputed segmaps/")
+        segmaps = [
+            seg_lib.load_segmap(os.path.join(seg_dir, os.path.splitext(n)[0] + ".png"))
+            for n in names
+        ]
+    else:
+        from genefaceplusplus_tpu.data.mp_extract import MediapipeSegmenter
+
+        mp_seg = MediapipeSegmenter(mp_model_path)
+        segmaps = mp_seg.segment_video(frames)
+
+    # per-frame crops + inpainted torso (+ segmap pngs if fresh)
+    for name, img, segmap in zip(names, frames, segmaps):
+        seg_lib.generate_segment_images(out_dir, name, img, segmap)
+
+    # KNN background over sampled frames
+    bg = seg_lib.extract_background(frames, segmaps)
+    cv2.imwrite(os.path.join(out_dir, "bg.jpg"), cv2.cvtColor(bg, cv2.COLOR_RGB2BGR))
+
+    # com_imgs: person over reconstructed background (binarizer gt source)
+    com_dir = os.path.join(out_dir, "com_imgs")
+    os.makedirs(com_dir, exist_ok=True)
+    for name, img, segmap in zip(names, frames, segmaps):
+        person, mask = seg_lib.segment_out(img, segmap, "person")
+        com = np.where(mask[..., None], person, bg)
+        cv2.imwrite(
+            os.path.join(com_dir, os.path.splitext(name)[0] + ".jpg"),
+            cv2.cvtColor(com, cv2.COLOR_RGB2BGR),
         )
-    raise NotImplementedError(
-        "mediapipe detected but the detector integration is pending; "
-        "provide lms_2d.npy for now"
-    )
+    print(f"| segment step done: {len(names)} frames")
 
 
 def step_background(out_dir: str, n_samples: int = 32) -> None:
-    """Static background estimate: per-pixel temporal median over sampled
-    frames (the reference uses segmentation-guided KNN voting,
-    extract_segment_imgs.py:63-147; median is the seg-free approximation)."""
+    """Static background estimate WITHOUT segmentation: per-pixel temporal
+    median over sampled frames (fallback when no segmaps exist; the primary
+    path is step_segment's KNN background, extract_segment_imgs.py:63-147)."""
     import cv2
 
     frame_dir = os.path.join(out_dir, "gt_imgs")
@@ -117,7 +177,9 @@ def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--video_id", type=str, required=True)
     p.add_argument("--data_dir", type=str, default="data")
-    p.add_argument("--steps", type=str, default="frames,audio,background,landmarks,fit,binarize")
+    p.add_argument("--steps", type=str, default="frames,audio,segment,landmarks,fit,binarize")
+    p.add_argument("--mp_model_dir", type=str, default=None,
+                   help="dir holding face_landmarker.task / selfie_multiclass_256x256.tflite")
     p.add_argument("--bfm_dir", type=str, default="deep_3drecon/BFM")
     args = p.parse_args(argv)
 
@@ -134,10 +196,14 @@ def main(argv=None):
             print(f"| {n} frames")
         elif step == "audio":
             step_audio(out_dir)
+        elif step == "segment":
+            mp_dir = args.mp_model_dir
+            step_segment(out_dir, os.path.join(mp_dir, "selfie_multiclass_256x256.tflite") if mp_dir else None)
         elif step == "background":
             step_background(out_dir)
         elif step == "landmarks":
-            step_landmarks(out_dir)
+            mp_dir = args.mp_model_dir
+            step_landmarks(out_dir, os.path.join(mp_dir, "face_landmarker.task") if mp_dir else None)
         elif step == "fit":
             step_fit(out_dir, args.bfm_dir)
         elif step == "binarize":

@@ -100,11 +100,36 @@ class GeneFaceInfer:
             self.a2m_model = VAEModel(in_out_dim=in_out_dim, audio_in_dim=audio_in_dim, **size_kw)
         self.a2m_params = self._load_params(audio2secc_dir, self._init_a2m)
 
+        # ---- postnet (optional landmark refiner; genefacepp_infer.py:152-162,
+        # 349-369 — the branch the reference only reaches with --postnet_ckpt) ----
+        self.postnet_model = None
+        self.postnet_params = None
+        if postnet_dir:
+            from genefaceplusplus_tpu.models.postnet.models import PitchContourCNNPostNet
+
+            pn_cfg = set_hparams(work_dir=postnet_dir)
+            self.postnet_model = PitchContourCNNPostNet(
+                out_dim=pn_cfg.get("postnet_out_dim", 204),
+                hidden=pn_cfg.get("postnet_hidden", 256),
+                n_layers=pn_cfg.get("postnet_layers", 4),
+            )
+            self.postnet_params = self._load_params(postnet_dir, self._init_postnet)
+
         # ---- head (+ torso) renderer ----
+        # torso checkpoints don't bundle head weights: when only the torso
+        # dir is given, resolve the head dir the torso task recorded in its
+        # config (head_model_dir), mirroring the reference's bundled-load
+        # (genefacepp_infer.py:164-175 loads both from one ckpt).
+        if not head_model_dir and torso_model_dir:
+            t_cfg_probe = set_hparams(work_dir=torso_model_dir)
+            head_model_dir = t_cfg_probe.get("head_model_dir", "") or None
         self.head_cfg_raw = set_hparams(work_dir=head_model_dir or torso_model_dir) if (head_model_dir or torso_model_dir) else Config({})
         self.head_cfg = RADNeRFConfig.from_hparams(self.head_cfg_raw)
         self.head_model = RADNeRF(self.head_cfg)
-        self.head_params = self._load_params(head_model_dir or torso_model_dir, self._init_head, sub="head")
+        self.head_params = self._load_params(
+            head_model_dir or torso_model_dir, self._init_head, sub="head",
+            required=bool(head_model_dir or torso_model_dir),
+        )
 
         self.torso_model = None
         self.torso_params = None
@@ -145,7 +170,10 @@ class GeneFaceInfer:
             head_model_dir or torso_model_dir, torso_model_dir
         )
 
-        self._jit_frame = None
+        # jitted frame/chunk functions, cached per (opts, H, W[, chunk]) —
+        # rebuilding the closure per call would recompile the full frame
+        # program for every streamed chunk
+        self._fn_cache: Dict[tuple, Any] = {}
 
     # ------------------------------------------------------------------
     def _init_a2m(self):
@@ -172,12 +200,23 @@ class GeneFaceInfer:
     def _init_sr(self):
         return self.sr_model.init(jax.random.PRNGKey(0), jnp.zeros((1, 256, 256, 3)))
 
-    def _load_params(self, work_dir, init_fn, sub: Optional[str] = None):
+    def _init_postnet(self):
+        return self.postnet_model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 8, self.postnet_model.out_dim)),
+            jnp.zeros((1, 16, 1)),
+        )
+
+    def _load_params(self, work_dir, init_fn, sub: Optional[str] = None,
+                     required: bool = False):
         template = init_fn()
         if not work_dir:
             return template
         ckpt, path = get_last_checkpoint(work_dir)
         if ckpt is None:
+            # config-only dir: legitimate (fresh experiment) — keep init
+            if required:
+                print(f"| WARNING: no checkpoint in {work_dir} (sub={sub}); "
+                      "using initialised weights")
             return template
         state = ckpt.get("state_dict", ckpt)
         # unwrap TrainState containers saved by the trainer (head:
@@ -196,19 +235,24 @@ class GeneFaceInfer:
             elif "model" in state:
                 state = state["model"]
         restored = restore_into(template, state)
-        # loud sanity: a restore that changed nothing means the checkpoint
-        # didn't match the model (silent random weights otherwise)
-        import jax
-
+        # loud sanity: report matched/unmatched counts; a restore that
+        # changed nothing means the checkpoint didn't match the model
         t_leaves = jax.tree.leaves(template)
         r_leaves = jax.tree.leaves(restored)
         changed = sum(
             0 if np.shape(a) != np.shape(b) or np.allclose(np.asarray(a), np.asarray(b)) else 1
             for a, b in zip(t_leaves, r_leaves)
         )
+        n = len(t_leaves)
         if changed == 0:
-            print(f"| WARNING: checkpoint at {path} matched no parameters "
-                  f"(sub={sub}); using initialised weights")
+            msg = (f"checkpoint at {path} matched no parameters (sub={sub}); "
+                   f"0/{n} leaves restored")
+            if required:
+                raise ValueError(msg)
+            print(f"| WARNING: {msg}; using initialised weights")
+        elif changed < n:
+            print(f"| ckpt {path} (sub={sub}): {changed}/{n} param leaves "
+                  f"restored ({n - changed} kept at init — constant or unmatched)")
         return restored
 
     def _restored_occupancy(self, head_dir, torso_dir):
@@ -317,9 +361,21 @@ class GeneFaceInfer:
         lower = np.quantile(norm_ds, 0.03, axis=0)
         upper = np.quantile(norm_ds, 0.97, axis=0)
 
+        flat = idexp.reshape(T, 68 * 3)
+
+        # postnet refinement branch (genefacepp_infer.py:349-369): refine the
+        # raw predicted landmarks with the pitch-conditioned CNN before the
+        # LLE blend; active only when a postnet checkpoint was supplied
+        if self.postnet_model is not None:
+            f0 = np.asarray(batch["f0"], np.float32)
+            f0n = (f0 / 400.0).reshape(1, -1, 1)
+            refined = self.postnet_model.apply(
+                self.postnet_params, jnp.asarray(flat[None]), jnp.asarray(f0n)
+            )
+            flat = np.asarray(refined[0])
+
         # LLE blend onto the training manifold (:371-397)
         lle_percent = float(inp.get("lle_percent", 0.2))
-        flat = idexp.reshape(T, 68 * 3)
         if lle_percent > 0:
             fuse, _, _ = compute_lle_projection(jnp.asarray(flat), jnp.asarray(ds_lm.reshape(-1, 68 * 3)), K=10)
             flat = lle_percent * np.asarray(fuse) + (1 - lle_percent) * flat
@@ -359,6 +415,9 @@ class GeneFaceInfer:
 
     # ------------------------------------------------------------------
     def _build_frame_fn(self, opts: RenderOptions, H: int, W: int):
+        key = ("frame", opts, H, W)
+        if key in self._fn_cache:
+            return self._fn_cache[key]
         head_model, torso_model, sr_model = self.head_model, self.torso_model, self.sr_model
 
         def frame_fn(head_params, torso_params, sr_params, rays_o, rays_d,
@@ -374,12 +433,17 @@ class GeneFaceInfer:
             img = out.sr_rgb_map if out.sr_rgb_map is not None else out.rgb_map.reshape(H, W, 3)
             return img
 
-        return jax.jit(frame_fn)
+        fn = jax.jit(frame_fn)
+        self._fn_cache[key] = fn
+        return fn
 
     def _build_chunk_fn(self, opts: RenderOptions, H: int, W: int, chunk: int):
         """Render `chunk` frames in ONE device dispatch (lax.scan): host
         dispatch latency would otherwise dominate the production frame loop
         (docs/DESIGN.md: ~26 ms/dispatch through the TPU tunnel)."""
+        key = ("chunk", opts, H, W, chunk)
+        if key in self._fn_cache:
+            return self._fn_cache[key]
         head_model, torso_model, sr_model = self.head_model, self.torso_model, self.sr_model
         torso_occ2d = self.torso_occupancy_2d
 
@@ -402,7 +466,9 @@ class GeneFaceInfer:
             _, imgs = jax.lax.scan(body, 0, (rays_o, rays_d, cond_wins, eye_areas, lm68s))
             return imgs  # [C, H', W', 3]
 
-        return jax.jit(chunk_fn)
+        fn = jax.jit(chunk_fn)
+        self._fn_cache[key] = fn
+        return fn
 
     def forward_secc2video(self, batch: Dict[str, Any], inp: Dict[str, Any]) -> str:
         ds = self.dataset

@@ -83,6 +83,7 @@ def render_rays(
             rays_o, rays_d, nears, fars, occ_box,
             bound=bound, dt_gamma=opts.dt_gamma, max_steps=opts.max_steps,
             num_samples=S, noise=noise, min_near=min_near,
+            grid_size=occupancy.shape[0],
         )
     else:
         m = raymarch.march_rays(

@@ -118,6 +118,7 @@ def march_rays_interval(
     num_samples: int = 16,
     noise: Optional[jnp.ndarray] = None,
     min_near: float = 0.05,
+    grid_size: int = 128,
 ) -> MarchResult:
     """Gather-free marching: intersect each ray with the occupied-region AABB
     and place `num_samples` fixed-dt lattice samples from the entry point.
@@ -130,8 +131,7 @@ def march_rays_interval(
     gathers, zero sorts.
     """
     R = rays_o.shape[0]
-    H = 128  # dt convention only
-    dt_min, dt_max = step_size(H, 1, max_steps)
+    dt_min, dt_max = step_size(grid_size, 1, max_steps)
     n2, f2 = near_far_from_aabb(rays_o, rays_d, occ_aabb, min_near)
     t0 = jnp.maximum(nears, n2)
     t1 = jnp.minimum(fars, f2)

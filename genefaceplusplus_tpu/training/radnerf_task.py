@@ -129,6 +129,9 @@ def make_train_step(model: RADNeRF, tx: optax.GradientTransformation,
             hp.target_ambient_loss, hp.lr_lambda_ambient,
         )
         metrics["lambda_ambient"] = new_lambda
+        from genefaceplusplus_tpu.training.schedulers import grad_norms_by_group
+
+        metrics.update(grad_norms_by_group(grads))
         new_state = TrainState(
             params=new_params,
             opt_state=new_opt_state,

@@ -65,6 +65,25 @@ def _radnerf_group(path) -> str:
     return "net"
 
 
+def grad_norms_by_group(grads, group_fn=_radnerf_group):
+    """Per-param-group L2 grad norms + total, as a metrics dict.
+
+    Parity: the reference's per-group grad monitoring
+    (/root/reference/tasks/radnerfs/radnerf.py:215-226, utils/nn/grad.py)."""
+    import jax
+
+    sq = {}
+    def visit(path, leaf):
+        g = group_fn(path)
+        sq[g] = sq.get(g, 0.0) + jnp.sum(jnp.square(leaf.astype(jnp.float32)))
+        return leaf
+
+    jax.tree_util.tree_map_with_path(visit, grads)
+    out = {f"grad_norm/{k}": jnp.sqrt(v) for k, v in sq.items()}
+    out["grad_norm/total"] = jnp.sqrt(sum(sq.values()))
+    return out
+
+
 def make_radnerf_optimizer(
     lr: float = 5e-4,
     warmup_updates: int = 0,

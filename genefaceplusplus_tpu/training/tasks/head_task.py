@@ -107,14 +107,20 @@ class HeadNeRFTask:
     def _face_mask(self, idx: int) -> np.ndarray:
         if idx not in self._face_masks:
             ds = self.dataset
-            lm = ds.ds["idexp_lm3d"][idx].reshape(68, 3)
-            # cheap mask from the face rect when no 2D landmarks are stored
-            rect = ds.samples[idx].get("face_rect")
-            mask = np.zeros((ds.H, ds.W), bool)
-            if rect is not None:
-                sc = ds.H / int(ds.ds["H"])
-                x0, x1, y0, y1 = (int(v * sc) for v in rect)
-                mask[x0:x1, y0:y1] = True
+            lms = ds.samples[idx].get("lms")
+            if lms is not None:
+                # lm68 convex-hull polygon mask (dataset_utils.py:77-91)
+                from genefaceplusplus_tpu.data.dataset import get_boundary_mask
+
+                mask = get_boundary_mask(np.asarray(lms, np.float32), ds.H, ds.W)
+            else:
+                # fall back to the face rect when no 2D landmarks are stored
+                rect = ds.samples[idx].get("face_rect")
+                mask = np.zeros((ds.H, ds.W), bool)
+                if rect is not None:
+                    sc = ds.H / int(ds.ds["H"])
+                    x0, x1, y0, y1 = (int(v * sc) for v in rect)
+                    mask[x0:x1, y0:y1] = True
             self._face_masks[idx] = mask
         return self._face_masks[idx]
 
@@ -159,7 +165,12 @@ class HeadNeRFTask:
         if gt is None:
             gt = ds.bg_img
         gt_flat = gt.reshape(-1, 3)[inds]
-        bg_flat = ds.bg_img.reshape(-1, 3)[inds]
+        # head renders over the torso-composited background when the
+        # segmentation step prepared torso images (dataset_utils.py:400-412)
+        bg = ds.frame_bg_torso(idx)
+        if bg is None:
+            bg = ds.bg_img
+        bg_flat = bg.reshape(-1, 3)[inds]
         face_mask = self._face_mask(idx).reshape(-1)[inds]
 
         batch = {

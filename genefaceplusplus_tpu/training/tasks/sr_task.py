@@ -43,6 +43,12 @@ class SRTaskConfig(HeadTaskConfig):
     sr_start_iters: int = 0
     lpips_start_iters: int = 200_000
     lambda_lpips: float = 0.001
+    # optional dual-discriminator feature matching (radnerf_sr.py:235-244):
+    # a FROZEN pretrained discriminator scores {SR image, raw image | camera};
+    # the generator matches its per-scale features on gt vs pred. Default off
+    # like every shipped reference config.
+    lambda_dual_fm: float = 0.0
+    disc_model_dir: str = ""  # checkpoint dir for the frozen discriminator
 
 
 class SRHeadNeRFTask(HeadNeRFTask):
@@ -54,6 +60,30 @@ class SRHeadNeRFTask(HeadNeRFTask):
         super().__init__(dataset, model_cfg, task_cfg, hp, seed)
         self.sr_model = Superresolution(channels=3, input_resolution=dataset.H)
         self.perceptual = PerceptualLoss(seed=0)
+
+        # frozen dual discriminator for feature matching (optional,
+        # radnerf_sr.py:112-123: loaded pretrained with strict=True and
+        # never optimised by this task)
+        self.disc_model = None
+        self.disc_params = None
+        if task_cfg.lambda_dual_fm > 0:
+            from genefaceplusplus_tpu.models.dual_discriminator import DualDiscriminator
+            from genefaceplusplus_tpu.utils.ckpt import get_last_checkpoint, restore_into
+
+            n_down = max(2, min(5, int(np.log2(dataset.H)) - 2))
+            self.disc_model = DualDiscriminator(n_down=n_down)
+            H2, W2 = 2 * dataset.H, 2 * dataset.W
+            self.disc_params = self.disc_model.init(
+                jax.random.PRNGKey(seed + 7), jnp.zeros((1, H2, W2, 3)),
+                jnp.zeros((1, dataset.H, dataset.W, 3)), jnp.zeros((1, 25)),
+            )
+            if task_cfg.disc_model_dir:
+                ckpt, _ = get_last_checkpoint(task_cfg.disc_model_dir)
+                if ckpt is not None:
+                    state = ckpt.get("state_dict", ckpt)
+                    state = state.get("disc", state)
+                    self.disc_params = restore_into(self.disc_params, state)
+
         self._train_step = jax.jit(self._make_sr_step(), static_argnames=("use_lpips", "use_sr"))
 
     def create_state(self) -> SRTrainState:
@@ -81,6 +111,7 @@ class SRHeadNeRFTask(HeadNeRFTask):
         H, W = self.dataset.H, self.dataset.W
         tcfg: SRTaskConfig = self.task_cfg
         perceptual = self.perceptual
+        disc_model, disc_params = self.disc_model, self.disc_params
 
         def loss_fn(params, batch, occupancy, lambda_ambient, global_step, noise, use_sr, use_lpips):
             head_params = params["head"]
@@ -116,6 +147,20 @@ class SRHeadNeRFTask(HeadNeRFTask):
                     total = total + tcfg.lambda_lpips * lp + 0.5 * tcfg.lambda_lpips * lp_sr
                     metrics["lpips_loss"] = lp
                     metrics["sr_lpips_loss"] = lp_sr
+                    if disc_model is not None:
+                        # frozen-disc feature matching, gated like the
+                        # reference on lpips_start_iters (radnerf_sr.py:235)
+                        from genefaceplusplus_tpu.models.dual_discriminator import (
+                            feature_matching_loss,
+                        )
+
+                        cam = batch["camera"]
+                        _, fake_feats = disc_model.apply(disc_params, sr, raw, cam)
+                        _, real_feats = disc_model.apply(disc_params, gt512, gt_raw, cam)
+                        real_feats = [jax.lax.stop_gradient(f) for f in real_feats]
+                        fm = feature_matching_loss(fake_feats, real_feats)
+                        total = total + tcfg.lambda_dual_fm * fm
+                        metrics["dual_feature_matching_loss"] = fm
             metrics["total_loss"] = total
             return total, metrics
 
@@ -133,6 +178,9 @@ class SRHeadNeRFTask(HeadNeRFTask):
                 hp.target_ambient_loss, hp.lr_lambda_ambient,
             )
             metrics["lambda_ambient"] = new_lambda
+            from genefaceplusplus_tpu.training.schedulers import grad_norms_by_group
+
+            metrics.update(grad_norms_by_group(grads))
             return SRTrainState(new_params, new_opt, state.global_step + 1, new_lambda, rng), metrics
 
         return step
@@ -150,13 +198,25 @@ class SRHeadNeRFTask(HeadNeRFTask):
         import cv2
 
         gt2x = cv2.resize(np.asarray(gt), (2 * W, 2 * H))
+        camera = np.zeros((1, 25), np.float32)
+        if self.disc_model is not None:
+            from genefaceplusplus_tpu.data.eg3d_convention import eg3d_camera_from_euler_trans
+
+            camera = eg3d_camera_from_euler_trans(
+                np.asarray(ds.ds["euler"])[idx : idx + 1],
+                np.asarray(ds.ds["trans"])[idx : idx + 1],
+            ).astype(np.float32)
+        bg = ds.frame_bg_torso(idx)
+        if bg is None:
+            bg = ds.bg_img
         return {
+            "camera": jnp.asarray(camera),
             "rays_o": rays_o[0],
             "rays_d": rays_d[0],
             "cond": jnp.asarray(ds.frame_cond_window(idx)),
             "gt_rgb": jnp.asarray(gt.reshape(-1, 3)),
             "gt_rgb_2x": jnp.asarray(gt2x.reshape(-1, 3)),
-            "bg_color": jnp.asarray(ds.bg_img.reshape(-1, 3)),
+            "bg_color": jnp.asarray(bg.reshape(-1, 3)),
             "face_mask": jnp.asarray(self._face_mask(idx).reshape(-1)),
             "idx": idx,
             "eye_area_percent": jnp.asarray(ds.eye_area_percents[idx : idx + 1]),
@@ -168,9 +228,19 @@ class SRHeadNeRFTask(HeadNeRFTask):
         use_lpips = step >= self.task_cfg.lpips_start_iters
         return self._train_step(state, batch, self.occupancy, use_sr=use_sr, use_lpips=use_lpips)
 
-    def update_extra_state(self, state):
-        # delegate with the head sub-tree
+    def validate(self, state, max_frames: int = 2, save_dir: str = ""):
+        """Delegate to the head validate with the head param sub-tree."""
         class _Shim:
             params = state.params["head"]
+            global_step = state.global_step
+
+        return super().validate(_Shim, max_frames=max_frames, save_dir=save_dir)
+
+    def update_extra_state(self, state):
+        # delegate with the head sub-tree; the parent also reads global_step
+        # (lip-finetune gating, head_task.py:237-238)
+        class _Shim:
+            params = state.params["head"]
+            global_step = state.global_step
 
         super().update_extra_state(_Shim)

@@ -54,10 +54,13 @@ class TorsoNeRFTask:
         self.lambda_we = cfg.get("lambda_weights_entropy", 1e-4)
         self.lambda_deform = cfg.get("lambda_torso_deform", 0.0)
 
-        # frozen head params from the head checkpoint
-        self.head_params = self._load_head(cfg.get("head_model_dir", ""))
+        # frozen head params + trained occupancy grid from the head ckpt
+        # (the head must march with the same grid it was trained with —
+        # radnerf_torso_sr.py:65-73 loads the whole head incl. buffers)
         H = head_cfg.grid_size
         self.occupancy = jnp.ones((H, H, H), dtype=bool)
+        self.density_grid = jnp.zeros((H, H, H))
+        self.head_params = self._load_head(cfg.get("head_model_dir", ""))
         self.torso_grid = jnp.zeros((H, H))
         self.mean_density_torso = 0.0
         self._grid_rng = jax.random.PRNGKey(seed + 2)
@@ -71,6 +74,11 @@ class TorsoNeRFTask:
         if head_dir:
             ckpt, _ = get_last_checkpoint(head_dir)
             if ckpt is not None:
+                extra = ckpt.get("extra_state", {})
+                if "occupancy" in extra:
+                    self.occupancy = jnp.asarray(extra["occupancy"]).astype(bool)
+                if "density_grid" in extra:
+                    self.density_grid = jnp.asarray(extra["density_grid"])
                 state = ckpt.get("state_dict", ckpt)
                 state = state.get("params", state)
                 return restore_into(template, state)
@@ -136,6 +144,9 @@ class TorsoNeRFTask:
             )
             updates, new_opt = tx.update(grads, state.opt_state, state.torso_params)
             new_params = optax.apply_updates(state.torso_params, updates)
+            from genefaceplusplus_tpu.training.schedulers import grad_norms_by_group
+
+            metrics.update(grad_norms_by_group(grads))
             return (
                 TorsoTrainState(new_params, new_opt, state.global_step + 1, state.rng),
                 metrics,
@@ -145,8 +156,20 @@ class TorsoNeRFTask:
 
     # ------------------------------------------------------------------
     def sample_train_batch(self) -> Dict:
+        return self.sample_frame_batch(int(self.np_rng.randint(len(self.dataset))))
+
+    def _frame_lm68(self, idx: int) -> np.ndarray:
+        """Projected 2D lm68 for torso conditioning (the reference uses the
+        jaw points of the projected lm68, radnerf_torso_sr.py:86-87); falls
+        back to canonical xy when no 2D landmarks are stored."""
         ds = self.dataset
-        idx = int(self.np_rng.randint(len(ds)))
+        lms = ds.samples[idx].get("lms")
+        if lms is not None:
+            return np.asarray(lms, np.float32)[None]
+        return ds.ds["idexp_lm3d"][idx].reshape(68, 3)[:, :2][None]
+
+    def sample_frame_batch(self, idx: int) -> Dict:
+        ds = self.dataset
         H, W = ds.H, ds.W
         # torso training renders full (small) frames: rays over all pixels
         pose = jnp.asarray(ds.frame_pose(idx)[None])
@@ -154,7 +177,7 @@ class TorsoNeRFTask:
         gt = ds.load_image(idx, "gt")
         if gt is None:
             gt = ds.bg_img
-        lm = ds.ds["idexp_lm3d"][idx].reshape(68, 3)[:, :2][None]
+        lm = self._frame_lm68(idx)
         return {
             "rays_o": rays_o[0],
             "rays_d": rays_d[0],
@@ -173,7 +196,7 @@ class TorsoNeRFTask:
     def update_extra_state(self, state):
         ds = self.dataset
         idx = int(self.np_rng.randint(len(ds)))
-        lm = jnp.asarray(ds.ds["idexp_lm3d"][idx].reshape(68, 3)[:, :2][None], jnp.float32)
+        lm = jnp.asarray(self._frame_lm68(idx), jnp.float32)
         ind = self.torso_model.apply(state.torso_params, 0, method=TorsoField.get_individual_code)
 
         def alpha_fn(pts):
@@ -184,14 +207,42 @@ class TorsoNeRFTask:
         self.torso_grid, mean_t = update_torso_grid(alpha_fn, self.torso_grid, sub)
         self.mean_density_torso = float(mean_t)
 
-    def validate(self, state, max_frames: int = 1):
-        return {}
+    def validate(self, state, max_frames: int = 2, save_dir: str = "") -> Dict[str, float]:
+        """Full-frame head+torso renders on dataset frames -> PSNR
+        (matching the head task's validate; the reference logs torso PSNR
+        through the same mse2psnr path, tasks/radnerfs/radnerf_torso_sr.py)."""
+        ds = self.dataset
+        psnrs = []
+        for i in range(min(max_frames, len(ds))):
+            batch = self.sample_frame_batch(i)
+            out = render_full_frame(
+                self.head_model, self.head_params,
+                batch["rays_o"], batch["rays_d"], batch["cond"], self.occupancy,
+                bg_color=batch["bg_color"], opts=self.opts, image_hw=(ds.H, ds.W),
+                eye_area_percent=batch["eye_area_percent"], index=batch["idx"],
+                torso_model=self.torso_model, torso_params=state.torso_params,
+                bg_coords=batch["bg_coords"], lm68=batch["lm68"],
+                occupancy_2d=self.torso_grid,
+                mean_density_torso=self.mean_density_torso,
+            )
+            gt = ds.load_image(i, "gt")
+            if gt is None:
+                continue
+            mse = float(jnp.mean((out.rgb_map - gt.reshape(-1, 3)) ** 2))
+            psnrs.append(-10.0 * np.log10(max(mse, 1e-10)))
+        return {"val_psnr": float(np.mean(psnrs))} if psnrs else {}
 
     def extra_state_dict(self):
-        return {"torso_grid": self.torso_grid, "occupancy": self.occupancy}
+        return {
+            "torso_grid": self.torso_grid,
+            "occupancy": self.occupancy,
+            "density_grid": self.density_grid,
+        }
 
     def load_extra_state(self, d):
         if "torso_grid" in d:
             self.torso_grid = jnp.asarray(d["torso_grid"])
         if "occupancy" in d:
             self.occupancy = jnp.asarray(d["occupancy"]).astype(bool)
+        if "density_grid" in d:
+            self.density_grid = jnp.asarray(d["density_grid"])

@@ -88,6 +88,48 @@ def test_pose_schedules(infer, tmp_path):
         assert check(batch["pose_idx"]), drv_pose
 
 
+def test_postnet_branch_refines_landmarks(infer, tmp_path):
+    """With a postnet checkpoint dir, the pitch-conditioned CNN refiner runs
+    before the LLE blend (reference genefacepp_infer.py:349-369; previously
+    the ctor accepted postnet_dir but never used it)."""
+    import jax
+    import jax.numpy as jnp
+
+    from genefaceplusplus_tpu.models.postnet.models import PitchContourCNNPostNet
+    from genefaceplusplus_tpu.utils.ckpt import save_checkpoint
+
+    pn_dir = str(tmp_path / "postnet")
+    save_config({"postnet_out_dim": 204, "postnet_hidden": 32, "postnet_layers": 2}, pn_dir)
+    pn = PitchContourCNNPostNet(out_dim=204, hidden=32, n_layers=2)
+    params = pn.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 204)), jnp.zeros((1, 16, 1)))
+    # non-zero final conv so the refiner is NOT the identity
+    params = jax.tree.map(
+        lambda p: p + 0.01 * np.float32(1.0) if p.ndim >= 1 else p, params
+    )
+    save_checkpoint(pn_dir, 1, {"state_dict": params})
+
+    ds = infer.dataset
+    infer_pn = GeneFaceInfer(postnet_dir=pn_dir, dataset=ds)
+    # share the a2m weights so only the postnet differs
+    infer_pn.a2m_model = infer.a2m_model
+    infer_pn.a2m_params = infer.a2m_params
+    infer_pn.a2m_cfg = infer.a2m_cfg
+
+    feats = _features(tmp_path)
+    inp = default_inp(drv_aud_features=feats, blink_mode="none",
+                      lle_percent=0.0, temperature=0.0)
+    import copy
+
+    b1 = infer.forward_audio2secc(infer.prepare_batch_from_inp(copy.deepcopy(inp)), inp)
+    infer_pn.rng = jax.random.PRNGKey(42)
+    infer.rng = jax.random.PRNGKey(42)
+    b2 = infer_pn.forward_audio2secc(infer_pn.prepare_batch_from_inp(copy.deepcopy(inp)), inp)
+    assert infer_pn.postnet_model is not None
+    assert np.isfinite(b2["cond"]).all()
+    # the refiner changed the predicted conditions
+    assert not np.allclose(b1["cond"], b2["cond"])
+
+
 def test_checkpoint_params_actually_load(tmp_path):
     """Regression: trained checkpoints must flow into inference (a container
     mismatch once silently kept random init weights)."""

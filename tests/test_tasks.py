@@ -33,13 +33,19 @@ def test_torso_task_step():
     task.opts = task.opts.__class__(max_steps=8, num_coarse=8, num_samples=4)
     task._train_step = jax.jit(task._make_step())
     state = task.create_state()
+    state_head_snapshot = jax.tree.map(np.asarray, task.head_params)
     batch = task.sample_train_batch()
     state2, metrics = task.train_step(state, batch)
     assert int(state2.global_step) == 1
     assert np.isfinite(float(metrics["total_loss"]))
-    # head params untouched (frozen); torso params changed
-    head_before = jax.tree.leaves(task.head_params)[0]
-    assert np.shares_memory(np.asarray(head_before), np.asarray(head_before))
+    # head params untouched (frozen: not part of the optimised pytree, and
+    # the step must not have replaced them)
+    head_before = jax.tree.leaves(state_head_snapshot)
+    head_after = jax.tree.leaves(task.head_params)
+    assert all(
+        np.array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(head_before, head_after)
+    )
     t_before = jax.tree.leaves(state.torso_params)
     t_after = jax.tree.leaves(state2.torso_params)
     changed = any(not np.allclose(np.asarray(a), np.asarray(b)) for a, b in zip(t_before, t_after))
@@ -67,6 +73,77 @@ def test_sr_task_step_with_staged_losses():
     state, m1 = task.train_step(state, batch)
     assert "lpips_loss" in m1 and "sr_lpips_loss" in m1
     assert np.isfinite(float(m1["total_loss"]))
+
+
+def test_sr_task_with_dual_fm_loss():
+    """lambda_dual_fm > 0 wires the frozen-disc feature-matching branch
+    (reference radnerf_sr.py:235-244, gated on lpips_start_iters)."""
+    from genefaceplusplus_tpu.training.radnerf_task import TaskHParams
+    from genefaceplusplus_tpu.training.tasks.sr_task import SRHeadNeRFTask, SRTaskConfig
+
+    ds = RADNeRFDataset(synthetic(num_frames=8, H=16, W=16), split="train",
+                        smo_win_size=3, with_sr=False)
+    tcfg = SRTaskConfig(n_rays=16 * 16, num_coarse=8, num_samples=4,
+                        sr_start_iters=0, lpips_start_iters=0,
+                        lambda_dual_fm=0.1)
+    task = SRHeadNeRFTask(ds, _tiny_model_cfg(), tcfg, TaskHParams())
+    state = task.create_state()
+    disc_before = jax.tree.map(np.asarray, task.disc_params)
+    batch = task.sample_train_batch()
+    assert "camera" in batch and batch["camera"].shape == (1, 25)
+    state, m = task.train_step(state, batch)
+    assert "dual_feature_matching_loss" in m
+    assert np.isfinite(float(m["dual_feature_matching_loss"]))
+    assert np.isfinite(float(m["total_loss"]))
+    # the discriminator stays frozen
+    for a, b in zip(jax.tree.leaves(disc_before), jax.tree.leaves(task.disc_params)):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_sr_task_under_trainer_refreshes_grid(tmp_path):
+    """Trainer.fit on the SR task must survive update_extra_state at step 0
+    (regression: the _Shim passed to HeadNeRFTask.update_extra_state lacked
+    global_step and crashed every SR run)."""
+    from genefaceplusplus_tpu.training.radnerf_task import TaskHParams
+    from genefaceplusplus_tpu.training.tasks.sr_task import SRHeadNeRFTask, SRTaskConfig
+    from genefaceplusplus_tpu.training.trainer import Trainer
+
+    ds = RADNeRFDataset(synthetic(num_frames=8, H=16, W=16), split="train",
+                        smo_win_size=3, with_sr=False)
+    tcfg = SRTaskConfig(n_rays=16 * 16, num_coarse=8, num_samples=4,
+                        sr_start_iters=0, lpips_start_iters=10**9,
+                        update_extra_interval=1)
+    task = SRHeadNeRFTask(ds, _tiny_model_cfg(), tcfg, TaskHParams())
+    trainer = Trainer(task, str(tmp_path / "sr"), max_updates=3,
+                      val_check_interval=3, update_extra_interval=1,
+                      num_sanity_val_steps=0)
+    state = trainer.fit(resume=False)
+    assert int(state.global_step) == 3
+    assert np.isfinite(task.mean_density)  # grid refresh actually ran
+
+
+def test_torso_task_under_trainer(tmp_path):
+    from genefaceplusplus_tpu.training.tasks.torso_task import TorsoNeRFTask
+    from genefaceplusplus_tpu.training.trainer import Trainer
+
+    ds = RADNeRFDataset(synthetic(num_frames=8, H=16, W=16), split="train",
+                        smo_win_size=3, with_sr=False)
+    cfg = Config({
+        "torso_individual_embedding_dim": 4, "individual_embedding_num": 16,
+        "torso_head_aware": True, "lr": 1e-3, "max_steps": 8,
+        "lambda_weights_entropy": 1e-4, "head_model_dir": "",
+    })
+    task = TorsoNeRFTask(ds, _tiny_model_cfg(), cfg)
+    task.opts = task.opts.__class__(max_steps=8, num_coarse=8, num_samples=4)
+    task._train_step = jax.jit(task._make_step())
+    trainer = Trainer(task, str(tmp_path / "torso"), max_updates=2,
+                      val_check_interval=2, update_extra_interval=1,
+                      num_sanity_val_steps=0)
+    state = trainer.fit(resume=False)
+    assert int(state.global_step) == 2
+    # torso validation reports a real PSNR now
+    val = task.validate(state, max_frames=1)
+    assert "val_psnr" in val and np.isfinite(val["val_psnr"])
 
 
 def test_dual_discriminator_and_fm_loss():
