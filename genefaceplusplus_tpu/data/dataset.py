@@ -173,9 +173,15 @@ class RADNeRFDataset:
 
 
 def synthetic(
-    num_frames: int = 24, H: int = 64, W: int = 64, seed: int = 0
+    num_frames: int = 24, H: int = 64, W: int = 64, seed: int = 0,
+    structured: bool = False,
 ) -> Dict:
-    """Deterministic miniature ds_dict with the exact binarizer schema."""
+    """Deterministic miniature ds_dict with the exact binarizer schema.
+
+    structured=True replaces the random gt frames with a learnable scene —
+    a soft blob whose position tracks the camera and whose color tracks the
+    landmark condition — so rendered-PSNR comparisons between field
+    variants measure fit quality, not noise."""
     rng = np.random.RandomState(seed)
     T = num_frames
     lm = rng.randn(T, 204).astype(np.float32) * 0.1
@@ -187,6 +193,19 @@ def synthetic(
     c2w = np.tile(np.eye(4, dtype=np.float32)[None], (T, 1, 1))
     c2w[:, 2, 3] = 0.6  # camera in front of the face
     c2w[:, 0, 3] = 0.05 * np.sin(np.linspace(0, 2 * np.pi, T))
+    def _gt(i: int) -> np.ndarray:
+        if not structured:
+            return rng.rand(H, W, 3).astype(np.float32)
+        yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
+        # blob centre tracks the camera x-offset; color tracks the condition
+        cx = W / 2 + c2w[i, 0, 3] * W * 4
+        cy = H / 2
+        r2 = ((xx - cx) ** 2 + (yy - cy) ** 2) / (0.08 * H * W)
+        blob = np.exp(-r2)
+        color = 0.5 + 0.4 * np.tanh(lm[i, :3])
+        img = 0.15 + blob[..., None] * color[None, None]
+        return np.clip(img, 0, 1).astype(np.float32)
+
     samples = [
         {
             "idx": i,
@@ -194,7 +213,7 @@ def synthetic(
             "face_rect": [H // 4, 3 * H // 4, W // 4, 3 * W // 4],
             "lip_rect": [H // 2, 3 * H // 4, W // 3, 2 * W // 3],
             "lms": lms[i],
-            "gt_img": rng.rand(H, W, 3).astype(np.float32),
+            "gt_img": _gt(i),
         }
         for i in range(T)
     ]

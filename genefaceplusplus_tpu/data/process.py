@@ -206,6 +206,10 @@ def main(argv=None):
             step_landmarks(out_dir, os.path.join(mp_dir, "face_landmarker.task") if mp_dir else None)
         elif step == "fit":
             step_fit(out_dir, args.bfm_dir)
+        elif step == "debug_fit":
+            from genefaceplusplus_tpu.data.visualization import debug_fit_video
+
+            debug_fit_video(out_dir, bfm_dir=args.bfm_dir)
         elif step == "binarize":
             step_binarize(out_dir, binary_out, args.bfm_dir)
         else:

@@ -1,20 +1,60 @@
 """Perceptual (LPIPS-style) loss for SR training.
 
 Parity target: PerceptualLoss (vgg19 + vggface multi-scale),
-/root/reference/tasks/radnerfs/losses.py:128-186. Pretrained VGG weights are
-not redistributable/downloadable in this environment, so the default is a
-fixed RANDOM-weight VGG-style feature stack — random deep features are a
-well-established perceptual metric surrogate (deep image prior family);
-`load_pretrained` accepts a converted weight file when available.
+/root/reference/tasks/radnerfs/losses.py:128-186. Two backends:
+
+  * `arch="vgg19"` — the real VGG19 relu_x_1 pyramid with the reference's
+    layer weights {1/32, 1/16, 1/8, 1/4, 1}, ImageNet normalisation, L1
+    distance, and n_scale extra half-resolution passes. Weights drop in via
+    `scripts/convert_vgg.py` (torchvision vgg19 .pth -> msgpack; conversion
+    verified op-level in tests/test_convert_full_ckpt.py). Random-init when
+    no weight file is given (deep-image-prior-style surrogate).
+  * `arch="small"` (default) — a compact fixed random-weight VGG-style stack
+    for weights-less environments and fast tests.
 """
 
 from __future__ import annotations
 
-from typing import List, Optional
+from typing import Dict, List, Optional
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+
+IMAGENET_MEAN = (0.485, 0.456, 0.406)
+IMAGENET_STD = (0.229, 0.224, 0.225)
+
+# torchvision vgg19.features conv plan: (out_channels, pool_before)
+VGG19_PLAN = (
+    (64, False), (64, False),
+    (128, True), (128, False),
+    (256, True), (256, False), (256, False), (256, False),
+    (512, True), (512, False), (512, False), (512, False),
+    (512, True), (512, False), (512, False), (512, False),
+)
+# indices (into the conv sequence) whose post-relu activation is relu_x_1
+VGG19_RELU_X1 = (0, 2, 4, 8, 12)
+# reference layer weights (losses.py:131)
+VGG19_LAYER_WEIGHTS = (0.03125, 0.0625, 0.125, 0.25, 1.0)
+
+
+class VGG19Features(nn.Module):
+    """VGG19 feature extractor returning the relu_x_1 pyramid.
+
+    Conv names Conv_0..Conv_15 follow the torchvision `features` conv order,
+    which is what convert_vgg19 (utils/convert_torch_ckpt.py) targets."""
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> List[jnp.ndarray]:
+        feats = []
+        h = x
+        for i, (width, pool_before) in enumerate(VGG19_PLAN):
+            if pool_before:
+                h = nn.max_pool(h, (2, 2), strides=(2, 2))
+            h = nn.relu(nn.Conv(width, (3, 3), padding="SAME")(h))
+            if i in VGG19_RELU_X1:
+                feats.append(h)
+        return feats
 
 
 class VGGFeatures(nn.Module):
@@ -37,14 +77,52 @@ class VGGFeatures(nn.Module):
 
 
 class PerceptualLoss:
-    """Multi-scale normalised feature distance. Weights are FIXED (never
-    trained); random by default, pretrained when provided."""
+    """Multi-scale fixed-feature distance. Weights are FIXED (never trained);
+    arch='vgg19' mirrors the reference loss (layer-weighted L1 over the
+    relu_x_1 pyramid + n_scale half-resolution passes, ImageNet norm);
+    arch='small' (default) is the compact random surrogate."""
 
-    def __init__(self, seed: int = 0, weights_path: Optional[str] = None, widths=(32, 64, 128, 256)):
-        self.net = VGGFeatures(widths)
-        self.params = self.net.init(jax.random.PRNGKey(seed), jnp.zeros((1, 32, 32, 3)))
+    def __init__(self, seed: int = 0, weights_path: Optional[str] = None,
+                 widths=(32, 64, 128, 256), arch: str = "small", n_scale: int = 3):
+        self.arch = arch
+        self.n_scale = n_scale
+        if arch == "vgg19":
+            self.net = VGG19Features()
+            self.params = self.net.init(jax.random.PRNGKey(seed), jnp.zeros((1, 64, 64, 3)))
+        else:
+            self.net = VGGFeatures(widths)
+            self.params = self.net.init(jax.random.PRNGKey(seed), jnp.zeros((1, 32, 32, 3)))
         if weights_path:
             self.load_pretrained(weights_path)
+
+        if arch == "vgg19":
+            mean = jnp.asarray(IMAGENET_MEAN)
+            std = jnp.asarray(IMAGENET_STD)
+            lw = VGG19_LAYER_WEIGHTS
+
+            def _vgg_loss(params, a, b):
+                a = (a - mean) / std
+                b = (b - mean) / std
+                total = 0.0
+                for scale in range(1 + self.n_scale):
+                    fa = self.net.apply(params, a)
+                    fb = self.net.apply(params, b)
+                    if scale == 0:
+                        for w, x, y in zip(lw, fa, fb):
+                            total = total + w * jnp.mean(jnp.abs(x - y))
+                    else:
+                        # extra scales use the deepest layer (losses.py:178-186)
+                        total = total + lw[-1] * jnp.mean(jnp.abs(fa[-1] - fb[-1]))
+                    if scale < self.n_scale:
+                        B, H, W, C = a.shape
+                        if min(H, W) < 64:
+                            break
+                        a = jax.image.resize(a, (B, H // 2, W // 2, C), "bilinear")
+                        b = jax.image.resize(b, (B, H // 2, W // 2, C), "bilinear")
+                return total
+
+            self._loss = _vgg_loss
+            return
 
         def _loss(params, a, b):
             fa = self.net.apply(params, a)
@@ -66,4 +144,6 @@ class PerceptualLoss:
 
     def __call__(self, pred: jnp.ndarray, gt: jnp.ndarray) -> jnp.ndarray:
         """pred/gt: [B, H, W, 3] in [0, 1]."""
+        if self.arch == "vgg19":
+            return self._loss(self.params, pred, gt)
         return self._loss(self.params, pred * 2 - 1, gt * 2 - 1)

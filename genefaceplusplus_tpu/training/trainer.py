@@ -107,8 +107,30 @@ class Trainer:
                 self._tb.add_scalar(f"train/{k}", float(v), step)
 
     # ------------------------------------------------------------------
+    def _install_preemption_handler(self):
+        """SIGTERM/SIGINT -> finish the current step, checkpoint, exit.
+
+        TPU-native failure story: preemptible/spot TPU VMs get a SIGTERM
+        grace window; the reference's equivalent layer is the pkill-based
+        worker teardown (utils/commons/trainer.py:151-155, 237-242) with no
+        state save — here the run resumes losslessly from the saved step."""
+        import signal
+
+        self._preempted = False
+
+        def _handler(signum, frame):
+            self.logger.log(f"| signal {signum}: checkpoint-and-exit requested")
+            self._preempted = True
+
+        try:
+            signal.signal(signal.SIGTERM, _handler)
+            signal.signal(signal.SIGINT, _handler)
+        except ValueError:
+            pass  # non-main thread (tests): no handler, flag stays False
+
     def fit(self, resume: bool = True):
         task = self.task
+        self._install_preemption_handler()
         state = task.create_state()
         start_step = 0
         if resume:
@@ -129,6 +151,10 @@ class Trainer:
         meters = Meters()
         t0 = time.time()
         for step in range(start_step, self.max_updates):
+            if self._preempted:
+                self.save(state, step)
+                self.logger.log(f"| preempted at step {step}; checkpoint saved, exiting")
+                return state
             if step % self.update_extra_interval == 0:
                 task.update_extra_state(state)
 

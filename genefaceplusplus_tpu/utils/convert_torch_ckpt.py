@@ -165,6 +165,37 @@ def convert_pitch_contour_vae(state: Dict[str, np.ndarray]) -> Dict[str, Any]:
     return {"params": params, "batch_stats": batch_stats}
 
 
+def conv2d_to_flax(w: np.ndarray) -> np.ndarray:
+    """torch Conv2d [out, in, kh, kw] -> flax HWIO [kh, kw, in, out]."""
+    return np.transpose(w, (2, 3, 1, 0))
+
+
+def convert_vgg19(state: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """torchvision vgg19 state dict -> VGG19Features flax variables.
+
+    Accepts either torchvision keys (features.{idx}.weight) or the bare
+    conv_x_y naming the reference's vggface loader uses
+    (tasks/radnerfs/losses.py:70-111). Returns {'params': {Conv_i: ...}}
+    for training/perceptual.py:VGG19Features."""
+    # torchvision vgg19 conv indices within `features`
+    tv_conv_idx = [0, 2, 5, 7, 10, 12, 14, 16, 19, 21, 23, 25, 28, 30, 32, 34]
+    names = [
+        "conv1_1", "conv1_2", "conv2_1", "conv2_2",
+        "conv3_1", "conv3_2", "conv3_3", "conv3_4",
+        "conv4_1", "conv4_2", "conv4_3", "conv4_4",
+        "conv5_1", "conv5_2", "conv5_3", "conv5_4",
+    ]
+    params: Dict[str, Any] = {}
+    for i, (tv, nm) in enumerate(zip(tv_conv_idx, names)):
+        if f"features.{tv}.weight" in state:
+            w, b = state[f"features.{tv}.weight"], state[f"features.{tv}.bias"]
+        else:
+            w, b = state[f"{nm}.weight"], state[f"{nm}.bias"]
+        params[f"Conv_{i}"] = {"kernel": conv2d_to_flax(np.asarray(w)),
+                               "bias": np.asarray(b)}
+    return {"params": params}
+
+
 def convert_radnerf_grid(state: Dict[str, np.ndarray], grid_size: int = 128) -> Dict[str, Any]:
     """RADNeRF (grid path) torch state dict -> flax params + render state.
 
