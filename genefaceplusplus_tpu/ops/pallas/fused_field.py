@@ -10,8 +10,10 @@ boundary at 1M points/frame). This kernel keeps every weight matrix
       -> trunc_exp -> [SH(dirs) | geo | ind] -> color MLP (2) -> sigmoid
 
 so HBM traffic is exactly: read xyz+dirs tiles, write one [T, 128] packed
-output row per point. Inference fast path (training uses the XLA path,
-which autodiffs; a custom VJP kernel is future work).
+output row per point. `fused_field_train` adds a custom VJP whose backward
+is a second Pallas kernel (recompute-in-VMEM: activations are rebuilt per
+tile, weight grads accumulate across the sequential grid), so training can
+run the fused kernel end to end.
 
 Packed output layout per point (PACK_* indices below):
   [0]=sigma, [1:4]=rgb, [4:4+amb_dim]=ambient_pos, rest zero.
@@ -232,3 +234,284 @@ def fused_field_eval(
 
     out = out[:N]
     return out[:, PACK_SIGMA], out[:, PACK_RGB], out[:, pack_amb(amb_dim)]
+
+
+# ---------------------------------------------------------------------------
+# Training path: custom VJP with a Pallas backward kernel
+# ---------------------------------------------------------------------------
+
+def _bwd_kernel(amb_dim,
+                xyz_ref, dirs_ref, amb_bias_ref, col_bias_ref,
+                pos_B, amb_w1p, amb_w2, amb_w3, amb_B,
+                sig_w1p, sig_w1a, sig_w2, sig_w3, col_w1s, col_w1g, col_w2,
+                gout_ref,
+                # accumulated weight grads (block (0,0) every step)
+                g_pos_B, g_amb_w1p, g_amb_bias, g_amb_w2, g_amb_w3, g_amb_B,
+                g_sig_w1p, g_sig_w1a, g_sig_w2, g_sig_w3,
+                g_col_w1s, g_col_w1g, g_col_bias, g_col_w2):
+    """Recompute the forward chain for this tile, then backprop it.
+
+    Derivatives use the exact functions (cos for sin, sech^2 for tanh,
+    sigmoid' for sigmoid) — the forward's polynomial approximations are
+    faithful enough that their analytic derivatives match to training
+    precision. MXU matmuls bf16 with f32 accumulation, like the forward.
+    """
+    f32, bf16 = jnp.float32, jnp.bfloat16
+    dot = functools.partial(jnp.dot, preferred_element_type=f32)
+    T = xyz_ref.shape[0]
+
+    # ---- forward recompute (mirrors _kernel) ----
+    xyz = xyz_ref[:]
+    proj = dot(xyz, pos_B[:])
+    sin_p, cos_p = fast_sin(proj), fast_cos(proj)
+    pos_feat = jnp.concatenate([sin_p, cos_p], axis=-1).astype(bf16)
+
+    a1 = jnp.maximum(dot(pos_feat, amb_w1p[:]) + amb_bias_ref[:], 0.0)
+    a1b = a1.astype(bf16)
+    a2 = jnp.maximum(dot(a1b, amb_w2[:]), 0.0)
+    a2b = a2.astype(bf16)
+    amb_logit = dot(a2b, amb_w3[:])
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, amb_logit.shape, 1)
+    amb_mask = col_ids < amb_dim
+    amb_pos = jnp.where(amb_mask, fast_tanh(amb_logit), 0.0)
+
+    aproj = dot(amb_pos, amb_B[:])
+    sin_a, cos_a = fast_sin(aproj), fast_cos(aproj)
+    amb_feat = jnp.concatenate([sin_a, cos_a], axis=-1).astype(bf16)
+
+    s1 = jnp.maximum(dot(pos_feat, sig_w1p[:]) + dot(amb_feat, sig_w1a[:]), 0.0)
+    s1b = s1.astype(bf16)
+    s2 = jnp.maximum(dot(s1b, sig_w2[:]), 0.0)
+    s2b = s2.astype(bf16)
+    sig_out = dot(s2b, sig_w3[:])
+    sig_logit = sig_out[:, 0:1]
+    sigma = jnp.exp(jnp.clip(sig_logit, -15.0, 15.0))
+    geo = sig_out[:, 1:129].astype(bf16)
+
+    dirs = dirs_ref[:]
+    sh = _sh16(dirs).astype(bf16)
+    c1 = jnp.maximum(dot(sh, col_w1s[:]) + dot(geo, col_w1g[:]) + col_bias_ref[:], 0.0)
+    c1b = c1.astype(bf16)
+    rgb_logit = dot(c1b, col_w2[:])
+    rgb = 1.0 / (1.0 + jnp.exp(-rgb_logit[:, 0:3]))
+
+    # ---- backward ----
+    gout = gout_ref[:]  # [T, 128] packed: [0]=sigma, [1:4]=rgb, [4:4+amb]=amb
+    g_sigma = gout[:, 0:1]
+    g_rgb = gout[:, 1:4]
+    g_amb_direct = jnp.pad(
+        gout[:, 4 : 4 + amb_dim], ((0, 0), (0, 128 - amb_dim))
+    )  # [T, 128]; cols >= amb_dim zero
+
+    out_ids = jax.lax.broadcasted_iota(jnp.int32, rgb_logit.shape, 1)
+    g_rgb_logit = jnp.where(
+        out_ids < 3,
+        jnp.pad(g_rgb * rgb * (1.0 - rgb), ((0, 0), (0, 125))),
+        0.0,
+    ).astype(bf16)
+    _acc(g_col_w2, dot(c1b.T, g_rgb_logit))
+    g_c1 = (dot(g_rgb_logit, col_w2[:].T) * (c1 > 0.0)).astype(bf16)
+    _acc(g_col_w1s, dot(sh.T, g_c1))
+    _acc(g_col_w1g, dot(geo.T, g_c1))
+    _acc_row0(g_col_bias, jnp.sum(g_c1.astype(f32), axis=0, keepdims=True))
+    g_geo = dot(g_c1, col_w1g[:].T)  # [T, 128]
+
+    in_range = (sig_logit > -15.0) & (sig_logit < 15.0)
+    g_sig0 = jnp.where(in_range, g_sigma * sigma, 0.0)
+    g_sig_out = jnp.concatenate(
+        [g_sig0, g_geo, jnp.zeros((T, 127), f32)], axis=-1
+    ).astype(bf16)  # [T, 256]
+    _acc(g_sig_w3, dot(s2b.T, g_sig_out))
+    g_s2 = (dot(g_sig_out, sig_w3[:].T) * (s2 > 0.0)).astype(bf16)
+    _acc(g_sig_w2, dot(s1b.T, g_s2))
+    g_s1 = (dot(g_s2, sig_w2[:].T) * (s1 > 0.0)).astype(bf16)
+    _acc(g_sig_w1p, dot(pos_feat.T, g_s1))
+    _acc(g_sig_w1a, dot(amb_feat.T, g_s1))
+    g_pos_feat_s = dot(g_s1, sig_w1p[:].T)  # [T, 256] f32
+    g_amb_feat = dot(g_s1, sig_w1a[:].T)  # [T, 128]
+
+    g_aproj = g_amb_feat[:, :64] * cos_a - g_amb_feat[:, 64:] * sin_a  # [T, 64]
+    _acc(g_amb_B, dot(amb_pos.astype(bf16).T, g_aproj.astype(bf16)))
+    g_amb_pos = dot(g_aproj.astype(bf16), amb_B[:].astype(bf16).T) + g_amb_direct
+    g_amb_logit = jnp.where(
+        amb_mask, g_amb_pos * (1.0 - amb_pos * amb_pos), 0.0
+    ).astype(bf16)
+    _acc(g_amb_w3, dot(a2b.T, g_amb_logit))
+    g_a2 = (dot(g_amb_logit, amb_w3[:].T) * (a2 > 0.0)).astype(bf16)
+    _acc(g_amb_w2, dot(a1b.T, g_a2))
+    g_a1 = (dot(g_a2, amb_w2[:].T) * (a1 > 0.0)).astype(bf16)
+    _acc(g_amb_w1p, dot(pos_feat.T, g_a1))
+    _acc_row0(g_amb_bias, jnp.sum(g_a1.astype(f32), axis=0, keepdims=True))
+    g_pos_feat = g_pos_feat_s + dot(g_a1, amb_w1p[:].T)  # [T, 256]
+
+    g_proj = g_pos_feat[:, :128] * cos_p - g_pos_feat[:, 128:] * sin_p
+    _acc(g_pos_B, dot(xyz.astype(bf16).T, g_proj.astype(bf16)))
+
+
+def _acc(ref, val):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        ref[:] = jnp.zeros_like(ref)
+
+    ref[:] = ref[:] + val.astype(ref.dtype)
+
+
+def _acc_row0(ref, row):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        ref[:] = jnp.zeros_like(ref)
+
+    ref[0:1, :] = ref[0:1, :] + row.astype(ref.dtype)
+
+
+def _fused_backward(xyz8, dirs8, amb_bias, col_bias, mats, gout_pad,
+                    amb_dim: int, tile: int, interpret: bool):
+    """Run the backward kernel; returns grads aligned with `mats` order plus
+    (g_amb_bias [1,128], g_col_bias [1,128])."""
+    n_pad = xyz8.shape[0]
+    grid = (n_pad // tile,)
+    pt_spec = lambda w: pl.BlockSpec((tile, w), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    full = lambda a: pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim, memory_space=pltpu.VMEM)
+    acc_spec = lambda shp: pl.BlockSpec(shp, lambda i: (0, 0), memory_space=pltpu.VMEM)
+
+    (pos_B, amb_w1p, amb_w2, amb_w3, amb_B,
+     sig_w1p, sig_w1a, sig_w2, sig_w3, col_w1s, col_w1g, col_w2) = mats
+    grad_shapes = [
+        pos_B.shape, amb_w1p.shape, (8, 128), amb_w2.shape, amb_w3.shape,
+        amb_B.shape, sig_w1p.shape, sig_w1a.shape, sig_w2.shape, sig_w3.shape,
+        col_w1s.shape, col_w1g.shape, (8, 128), col_w2.shape,
+    ]
+    outs = pl.pallas_call(
+        functools.partial(_bwd_kernel, amb_dim),
+        grid=grid,
+        in_specs=[
+            pt_spec(8), pt_spec(8), full(amb_bias), full(col_bias),
+            *[full(w) for w in mats], pt_spec(128),
+        ],
+        out_specs=tuple(acc_spec(s) for s in grad_shapes),
+        out_shape=tuple(jax.ShapeDtypeStruct(s, jnp.float32) for s in grad_shapes),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2 ** 20),
+        interpret=interpret,
+    )(xyz8, dirs8, amb_bias, col_bias, *mats, gout_pad)
+    return outs
+
+
+@functools.lru_cache(maxsize=8)
+def _make_fused_field_train(amb_dim: int, ind_dim: int, bound: float,
+                            tile: int, interpret: bool):
+    """custom_vjp-wrapped fused field: (xyz, dirs, cond_feat, ind_code,
+    weights) -> (sigma, rgb, ambient_pos), differentiable w.r.t. cond_feat,
+    ind_code, and every FieldWeights matrix (xyz/dirs get zero grads — they
+    come from the marcher and are not optimised)."""
+
+    def _prep(xyz, dirs, cond_feat, ind_code, weights):
+        N = xyz.shape[0]
+        n_pad = (N + tile - 1) // tile * tile
+
+        def pad_pts(a, w):
+            out = jnp.zeros((n_pad, w), jnp.float32)
+            return out.at[:N, : a.shape[-1]].set(a.astype(jnp.float32))
+
+        xyz8, dirs8 = pad_pts(xyz, 8), pad_pts(dirs, 8)
+        cond128 = jnp.zeros((1, 128), jnp.float32).at[:, :64].set(cond_feat.reshape(1, 64))
+        amb_w1p, amb_w1c = weights.amb_w1[:256], weights.amb_w1[256:]
+        amb_bias = (cond128.astype(jnp.bfloat16) @ amb_w1c).astype(jnp.float32)
+        sig_w1p, sig_w1a = weights.sig_w1[:256], weights.sig_w1[256:384]
+        col_w1s, col_w1g, col_w1i = (weights.col_w1[:16], weights.col_w1[16:144],
+                                     weights.col_w1[144:160])
+        ind16 = jnp.zeros((1, 16), jnp.float32)
+        if ind_dim > 0:
+            ind16 = ind16.at[:, :ind_dim].set(ind_code.reshape(1, -1))
+        col_bias = (ind16.astype(jnp.bfloat16) @ col_w1i).astype(jnp.float32)
+        mats = (weights.pos_B, amb_w1p, weights.amb_w2, weights.amb_w3,
+                weights.amb_B, sig_w1p, sig_w1a, weights.sig_w2, weights.sig_w3,
+                col_w1s, col_w1g, weights.col_w2)
+        return xyz8, dirs8, cond128, ind16, amb_bias, col_bias, mats, N, n_pad
+
+    def fwd_impl(xyz, dirs, cond_feat, ind_code, weights):
+        return fused_field_eval(xyz, dirs, cond_feat,
+                                ind_code if ind_dim > 0 else jnp.zeros((0,)),
+                                weights, amb_dim=amb_dim, bound=bound,
+                                tile=tile, interpret=interpret)
+
+    @jax.custom_vjp
+    def f(xyz, dirs, cond_feat, ind_code, weights):
+        return fwd_impl(xyz, dirs, cond_feat, ind_code, weights)
+
+    def f_fwd(xyz, dirs, cond_feat, ind_code, weights):
+        out = fwd_impl(xyz, dirs, cond_feat, ind_code, weights)
+        return out, (xyz, dirs, cond_feat, ind_code, weights)
+
+    def f_bwd(res, g):
+        xyz, dirs, cond_feat, ind_code, weights = res
+        g_sigma, g_rgb, g_amb = g
+        (xyz8, dirs8, cond128, ind16, amb_bias, col_bias, mats, N, n_pad) = _prep(
+            xyz, dirs, cond_feat, ind_code, weights)
+
+        gout = jnp.zeros((n_pad, 128), jnp.float32)
+        gout = gout.at[:N, 0].set(g_sigma.astype(jnp.float32))
+        gout = gout.at[:N, 1:4].set(g_rgb.astype(jnp.float32))
+        gout = gout.at[:N, 4 : 4 + amb_dim].set(g_amb.astype(jnp.float32))
+
+        (g_pos_B, g_amb_w1p, g_amb_bias8, g_amb_w2, g_amb_w3, g_amb_B,
+         g_sig_w1p, g_sig_w1a, g_sig_w2, g_sig_w3,
+         g_col_w1s, g_col_w1g, g_col_bias8, g_col_w2) = _fused_backward(
+            xyz8, dirs8, amb_bias, col_bias, mats, gout,
+            amb_dim, tile, interpret)
+
+        g_amb_bias = g_amb_bias8[0:1]  # [1, 128]
+        g_col_bias = g_col_bias8[0:1]
+
+        amb_w1c = weights.amb_w1[256:]
+        col_w1i = weights.col_w1[144:160]
+        g_cond = (g_amb_bias @ amb_w1c.astype(jnp.float32).T)[0, :64]
+        g_cond = g_cond.reshape(cond_feat.shape).astype(cond_feat.dtype)
+        g_ind = (g_col_bias @ col_w1i.astype(jnp.float32).T)[0, :max(ind_dim, 1)]
+        g_ind = (g_ind[:ind_dim].reshape(ind_code.shape).astype(ind_code.dtype)
+                 if ind_dim > 0 else jnp.zeros_like(ind_code))
+
+        # bias grads also flow into the cond/ind ROWS of the packed w1s
+        g_amb_w1 = jnp.concatenate(
+            [g_amb_w1p, cond128.T @ g_amb_bias], axis=0
+        ).astype(weights.amb_w1.dtype)
+        g_sig_w1 = jnp.concatenate([g_sig_w1p, g_sig_w1a], axis=0).astype(weights.sig_w1.dtype)
+        g_col_w1 = jnp.concatenate(
+            [g_col_w1s, g_col_w1g, ind16.T @ g_col_bias,
+             jnp.zeros((weights.col_w1.shape[0] - 160, 128), jnp.float32)], axis=0
+        ).astype(weights.col_w1.dtype)
+
+        g_weights = FieldWeights(
+            pos_B=g_pos_B.astype(weights.pos_B.dtype),
+            amb_w1=g_amb_w1,
+            amb_w2=g_amb_w2.astype(weights.amb_w2.dtype),
+            amb_w3=g_amb_w3.astype(weights.amb_w3.dtype),
+            amb_B=g_amb_B.astype(weights.amb_B.dtype),
+            sig_w1=g_sig_w1,
+            sig_w2=g_sig_w2.astype(weights.sig_w2.dtype),
+            sig_w3=g_sig_w3.astype(weights.sig_w3.dtype),
+            col_w1=g_col_w1,
+            col_w2=g_col_w2.astype(weights.col_w2.dtype),
+        )
+        return (jnp.zeros_like(xyz), jnp.zeros_like(dirs), g_cond, g_ind, g_weights)
+
+    f.defvjp(f_fwd, f_bwd)
+    return f
+
+
+def fused_field_train(xyz, dirs, cond_feat, ind_code, weights,
+                      amb_dim: int = 3, bound: float = 1.0, tile: int = 1024,
+                      interpret: bool = False):
+    """Differentiable fused field (forward AND backward as Pallas kernels).
+
+    Same contract as fused_field_eval; grads flow to cond_feat, ind_code,
+    and all FieldWeights. Use weights_from_params + grads mapped back by the
+    caller (the packed w1 grads include the cond/ind rows)."""
+    ind_dim = int(ind_code.shape[-1]) if ind_code is not None else 0
+    if ind_code is None:
+        ind_code = jnp.zeros((0,), jnp.float32)
+    fn = _make_fused_field_train(amb_dim, ind_dim, float(bound), tile, interpret)
+    return fn(xyz, dirs, cond_feat, ind_code, weights)
