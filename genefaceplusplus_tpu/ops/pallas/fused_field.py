@@ -92,6 +92,41 @@ def weights_from_params(params, cfg, bound: float = 1.0) -> FieldWeights:
                         sig_w1, sig_w2, sig_w3, col_w1, col_w2)
 
 
+def weights_from_params_jnp(params, cfg, bound: float = 1.0) -> FieldWeights:
+    """Differentiable variant of weights_from_params: pure jnp padding, so
+    jax.grad flows from FieldWeights grads (fused_field_train's custom VJP)
+    back into the flax param tree. Weight dtypes follow weights_from_params
+    (MLP mats bf16, Fourier B f32)."""
+    p = params["params"]
+    c = cfg
+    assert c.grid_type == "fourier"
+    two_pi = 2.0 * math.pi
+
+    def pad(x, shape, dtype=jnp.bfloat16):
+        x = jnp.asarray(x, jnp.float32)
+        out = jnp.zeros(shape, jnp.float32)
+        out = out.at[: x.shape[0], : x.shape[1]].set(x)
+        return out.astype(dtype)
+
+    f32 = jnp.float32
+    pos_B = pad(p["position_embedder"]["B"].T * (two_pi / bound), (8, 128), f32)
+    amb = p["ambient_net"]
+    sig = p["sigma_net"]
+    col = p["color_net"]
+    return FieldWeights(
+        pos_B=pos_B,
+        amb_w1=pad(amb["Dense_0"]["kernel"], (384, 128)),
+        amb_w2=pad(amb["Dense_1"]["kernel"], (128, 128)),
+        amb_w3=pad(amb["Dense_2"]["kernel"], (128, 128)),
+        amb_B=pad(p["ambient_embedder"]["B"].T * two_pi, (128, 64), f32),
+        sig_w1=pad(sig["Dense_0"]["kernel"], (384, 128)),
+        sig_w2=pad(sig["Dense_1"]["kernel"], (128, 128)),
+        sig_w3=pad(sig["Dense_2"]["kernel"], (128, 256)),
+        col_w1=pad(col["Dense_0"]["kernel"], (256, 128)),
+        col_w2=pad(col["Dense_1"]["kernel"], (128, 128)),
+    )
+
+
 def _sh16(d):
     """Degree-4 real SH basis, [T, 16] (ops/sh_encoder.py inlined for fusion)."""
     x, y, z = d[:, 0], d[:, 1], d[:, 2]

@@ -69,6 +69,9 @@ def head_loss_fn(
     global_step: jnp.ndarray,
     lambda_ambient: jnp.ndarray,
     noise: jnp.ndarray,
+    use_fused_field: bool = False,
+    fused_tile: int = 1024,
+    fused_interpret: bool = False,
 ):
     cfg = model.cfg
 
@@ -78,8 +81,25 @@ def head_loss_fn(
     cond_feat = apply(RADNeRF.cal_cond_feat, batch["cond"], batch.get("eye_area_percent"))
     ind_code = apply(RADNeRF.get_individual_code, batch["idx"])
 
-    def field_fn(xyz, dirs):
-        return apply(RADNeRF.field, xyz, dirs, cond_feat, ind_code)
+    if use_fused_field:
+        # the whole field as ONE Pallas kernel (fwd + custom-VJP bwd);
+        # grads flow into params through the differentiable weight folding
+        from genefaceplusplus_tpu.ops.pallas.fused_field import (
+            fused_field_train,
+            weights_from_params_jnp,
+        )
+
+        weights = weights_from_params_jnp(params, cfg, bound=cfg.bound)
+
+        def field_fn(xyz, dirs):
+            return fused_field_train(
+                xyz, dirs, cond_feat, ind_code, weights,
+                amb_dim=cfg.ambient_coord_dim, bound=cfg.bound,
+                tile=fused_tile, interpret=fused_interpret,
+            )
+    else:
+        def field_fn(xyz, dirs):
+            return apply(RADNeRF.field, xyz, dirs, cond_feat, ind_code)
 
     out = render_rays(
         field_fn,
@@ -110,7 +130,9 @@ def head_loss_fn(
 
 
 def make_train_step(model: RADNeRF, tx: optax.GradientTransformation,
-                    opts: RenderOptions, hp: TaskHParams = TaskHParams()):
+                    opts: RenderOptions, hp: TaskHParams = TaskHParams(),
+                    use_fused_field: bool = False, fused_tile: int = 1024,
+                    fused_interpret: bool = False):
     """Returns train_step(state, batch, occupancy) -> (state, metrics)."""
 
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray], occupancy: jnp.ndarray
@@ -121,6 +143,7 @@ def make_train_step(model: RADNeRF, tx: optax.GradientTransformation,
         (_, metrics), grads = jax.value_and_grad(head_loss_fn, has_aux=True)(
             state.params, model, batch, occupancy, opts, hp,
             state.global_step, state.lambda_ambient, noise,
+            use_fused_field, fused_tile, fused_interpret,
         )
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)

@@ -43,6 +43,10 @@ class HeadTaskConfig:
     lip_window: int = 64  # static window side (reference uses the dynamic
     # lip_rect; a fixed window centred on it keeps shapes static under jit)
     lambda_lpips: float = 0.01
+    # run the field as the fused Pallas kernel (fwd + custom-VJP bwd);
+    # production flagship dims only (fused_field.py asserts them)
+    use_fused_field: bool = False
+    fused_tile: int = 1024
 
     @classmethod
     def from_hparams(cls, hp) -> "HeadTaskConfig":
@@ -80,7 +84,11 @@ class HeadNeRFTask:
             num_samples=task_cfg.num_samples,
             perturb=True,
         )
-        self._train_step = jax.jit(make_train_step(self.model, self.tx, self.opts, hp))
+        self._train_step = jax.jit(make_train_step(
+            self.model, self.tx, self.opts, hp,
+            use_fused_field=task_cfg.use_fused_field,
+            fused_tile=task_cfg.fused_tile,
+        ))
         self._lip_step = None  # compiled lazily on first lip-finetune batch
         self._finetune_lip_flag = False
         self.np_rng = np.random.RandomState(seed)

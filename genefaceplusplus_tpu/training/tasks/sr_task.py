@@ -147,6 +147,16 @@ class SRHeadNeRFTask(HeadNeRFTask):
                     total = total + tcfg.lambda_lpips * lp + 0.5 * tcfg.lambda_lpips * lp_sr
                     metrics["lpips_loss"] = lp
                     metrics["sr_lpips_loss"] = lp_sr
+                    # lip-crop perceptual on the SR image (radnerf_sr.py:231-233;
+                    # static window, x2 coords at SR resolution)
+                    win = min(tcfg.lip_window, H, W)
+                    y0, x0 = batch["lip_xy0"][0], batch["lip_xy0"][1]
+                    crop = lambda img, s: jax.lax.dynamic_slice(
+                        img, (0, s * y0, s * x0, 0),
+                        (1, s * win, s * win, 3))
+                    lp_lip = perceptual(crop(sr, 2), crop(gt512, 2))
+                    total = total + 0.5 * tcfg.lambda_lpips * lp_lip
+                    metrics["sr_lip_lpips_loss"] = lp_lip
                     if disc_model is not None:
                         # frozen-disc feature matching, gated like the
                         # reference on lpips_start_iters (radnerf_sr.py:235)
@@ -209,7 +219,18 @@ class SRHeadNeRFTask(HeadNeRFTask):
         bg = ds.frame_bg_torso(idx)
         if bg is None:
             bg = ds.bg_img
+        # static lip window origin for the SR lip-perceptual crop
+        win = min(self.task_cfg.lip_window, H, W)
+        rect = ds.samples[idx].get("lip_rect", [0, H, 0, W])
+        sc = H / int(ds.ds["H"])
+        cy = int((rect[0] + rect[1]) / 2 * sc)
+        cx = int((rect[2] + rect[3]) / 2 * sc)
+        lip_xy0 = np.asarray([
+            int(np.clip(cy - win // 2, 0, H - win)),
+            int(np.clip(cx - win // 2, 0, W - win)),
+        ], np.int32)
         return {
+            "lip_xy0": jnp.asarray(lip_xy0),
             "camera": jnp.asarray(camera),
             "rays_o": rays_o[0],
             "rays_d": rays_d[0],

@@ -124,6 +124,49 @@ def test_fused_vjp_matches_xla_autodiff(ind_dim):
         close(getattr(g_fused[2], name), getattr(g_ref[2], name), name)
 
 
+def test_fused_train_step_end_to_end_interpret():
+    """make_train_step(use_fused_field=True) runs and its gradients update
+    the real flax param tree (through the differentiable weight folding)."""
+    import numpy as np
+
+    from genefaceplusplus_tpu.models.radnerf import RADNeRF, RADNeRFConfig
+    from genefaceplusplus_tpu.models.renderer import RenderOptions
+    from genefaceplusplus_tpu.training.radnerf_task import (
+        TaskHParams, create_train_state, make_train_step,
+    )
+    from genefaceplusplus_tpu.training.schedulers import make_radnerf_optimizer
+
+    cfg = RADNeRFConfig(grid_size=16, individual_embedding_num=8)  # production widths
+    model = RADNeRF(cfg)
+    tx = make_radnerf_optimizer(1e-3)
+    opts = RenderOptions(num_samples=2, perturb=False, march_mode="interval")
+    state = create_train_state(model, tx, jax.random.PRNGKey(0))
+    R = 8
+    batch = {
+        "rays_o": jnp.zeros((R, 3)).at[:, 2].set(-2.0),
+        "rays_d": jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (R, 1)),
+        "cond": jnp.zeros((cfg.smo_win_size, cfg.cond_win_size, cfg.cond_in_dim)),
+        "gt_rgb": jax.random.uniform(jax.random.PRNGKey(1), (R, 3)),
+        "bg_color": jnp.ones((R, 3)),
+        "face_mask": jnp.zeros((R,), bool),
+        "idx": 0,
+        "eye_area_percent": jnp.zeros((1, 1)),
+    }
+    occ = jnp.ones((16, 16, 16), bool)
+    step = make_train_step(model, tx, opts, TaskHParams(),
+                           use_fused_field=True, fused_tile=16,
+                           fused_interpret=True)
+    new_state, m = step(state, batch, occ)
+    assert np.isfinite(float(m["total_loss"]))
+    # the field weights (incl. the Fourier B) actually moved
+    for path in (("sigma_net", "Dense_0", "kernel"), ("position_embedder", "B")):
+        a = state.params["params"]
+        b = new_state.params["params"]
+        for k in path:
+            a, b = a[k], b[k]
+        assert not np.allclose(np.asarray(a), np.asarray(b)), path
+
+
 def test_fused_vjp_zero_for_nondiff_inputs():
     w = _random_weights(jax.random.PRNGKey(0))
     xyz = jax.random.uniform(jax.random.PRNGKey(1), (16, 3), minval=-1, maxval=1)

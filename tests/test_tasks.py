@@ -69,9 +69,11 @@ def test_sr_task_step_with_staged_losses():
     # step 0: sr on, lpips off
     state, m0 = task.train_step(state, batch)
     assert "sr_mse_loss" in m0 and "lpips_loss" not in m0
-    # step 1: lpips kicks in
+    # step 1: lpips kicks in (incl. the SR lip-crop term, radnerf_sr.py:231-233)
     state, m1 = task.train_step(state, batch)
     assert "lpips_loss" in m1 and "sr_lpips_loss" in m1
+    assert "sr_lip_lpips_loss" in m1
+    assert np.isfinite(float(m1["sr_lip_lpips_loss"]))
     assert np.isfinite(float(m1["total_loss"]))
 
 
