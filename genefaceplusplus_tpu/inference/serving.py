@@ -10,6 +10,10 @@ TPU-native serving design (SURVEY.md §2.8, §7 stage 8):
     chunk-level latency instead of clip-level (parity-plus over the
     reference's whole-clip batch path; its --low_memory_usage only streams
     the writer).
+  * one-chunk pipelining: renders are DISPATCHED async (JAX dispatch
+    returns before the device finishes) and fetched only after the next
+    chunk's audio2motion is issued — the host-side feature extraction and
+    a2m of chunk k+1 overlap the device render of chunk k.
 """
 
 from __future__ import annotations
@@ -82,6 +86,10 @@ def stream_infer(
     total = len(wav16k)
     pos = 0
     frame_offset = 0
+    # one-chunk pipeline: the device renders chunk k (async dispatch) while
+    # the host runs feature extraction + audio2motion for chunk k+1; frames
+    # of chunk k are fetched (sync) only after k+1's render is dispatched.
+    pending = None  # (device_images, n_real)
     while pos < total:
         chunk = wav16k[pos : pos + chunk_samples]
         if len(chunk) < sr // 5:  # <0.2s tail: drop
@@ -114,13 +122,27 @@ def stream_infer(
         batch["transs"] = np.asarray(ds.ds["trans"])[idxs]
 
         batch = infer.forward_audio2secc(batch, inp)
-        for frame in _render_frames(infer, batch, inp):
-            yield frame
+        dispatched = _dispatch_render(infer, batch, inp)  # async
+        if pending is not None:
+            yield from _drain(pending)
+        pending = dispatched
         frame_offset += batch["T"]
         pos += chunk_samples
+    if pending is not None:
+        yield from _drain(pending)
 
 
-def _render_frames(infer, batch, inp) -> Iterator[np.ndarray]:
+def _drain(dispatched) -> Iterator[np.ndarray]:
+    for imgs, n_real in dispatched:
+        arr = np.asarray(imgs)  # device sync happens here
+        for j in range(n_real):
+            yield (np.clip(arr[j], 0, 1) * 255).astype(np.uint8)
+
+
+def _dispatch_render(infer, batch, inp):
+    """Dispatch the chunk's frame renders (lax.scan chunk fn, async) and
+    return a list of (device_images, n_real) — NO host sync here, so the
+    caller can overlap the next chunk's audio2motion with this render."""
     from genefaceplusplus_tpu.models.renderer import RenderOptions
     from genefaceplusplus_tpu.utils.audio_features import get_audio_features_batch
     from genefaceplusplus_tpu.utils.rays import get_bg_coords, pixel_rays
@@ -128,20 +150,33 @@ def _render_frames(infer, batch, inp) -> Iterator[np.ndarray]:
     ds = infer.dataset
     H, W = ds.H, ds.W
     opts = RenderOptions(num_coarse=48, num_samples=16, T_thresh=float(inp.get("T_thresh", 1e-2)))
-    frame_fn = infer._build_frame_fn(opts, H, W)
+    T = batch["T"]
+    chunk = max(1, min(int(inp.get("frames_per_dispatch", 8)), T))
+    chunk_fn = infer._build_chunk_fn(opts, H, W, chunk)
     bg_coords = get_bg_coords(H, W)[0]
     bg_color = jnp.asarray(ds.bg_img.reshape(-1, 3))
     conds = jnp.asarray(batch["cond"])
-    T = batch["T"]
     cond_windows = get_audio_features_batch(conds, jnp.arange(T), infer.head_cfg.smo_win_size)
-    for i in range(T):
-        pose = jnp.asarray(batch["poses"][i : i + 1])
-        rays_o, rays_d, _ = pixel_rays(pose, ds.intrinsics, H, W)
-        img = frame_fn(
+    eye_areas = jnp.asarray(batch["eye_area_percent"])
+    lm68s = jnp.asarray(batch["lm68"], jnp.float32)
+
+    dispatched = []
+    for start in range(0, T, chunk):
+        idxs = [min(start + j, T - 1) for j in range(chunk)]
+        n_real = min(chunk, T - start)
+        poses = jnp.asarray(batch["poses"][idxs])
+        rays_o, rays_d, _ = pixel_rays(poses, ds.intrinsics, H, W)
+        imgs = chunk_fn(
             infer.head_params, infer.torso_params, infer.sr_params,
-            rays_o[0], rays_d[0], cond_windows[i],
-            jnp.asarray(batch["eye_area_percent"][i : i + 1]),
+            rays_o, rays_d, cond_windows[jnp.asarray(idxs)],
+            eye_areas[jnp.asarray(idxs)][:, None, :],
             infer.occupancy, bg_color, bg_coords,
-            jnp.asarray(batch["lm68"][i : i + 1]),
+            lm68s[jnp.asarray(idxs)][:, None],
         )
-        yield (np.clip(np.asarray(img), 0, 1) * 255).astype(np.uint8)
+        dispatched.append((imgs, n_real))
+    return dispatched
+
+
+def _render_frames(infer, batch, inp) -> Iterator[np.ndarray]:
+    """Render + yield a chunk's frames (sync); kept for non-pipelined use."""
+    yield from _drain(_dispatch_render(infer, batch, inp))
