@@ -105,25 +105,24 @@ def bench_head(n_frames: int = 25):
     import jax
     import jax.numpy as jnp
 
+    from genefaceplusplus_tpu.models.radnerf import RADNeRF
     from genefaceplusplus_tpu.models.renderer import RenderOptions, render_rays
 
     cfg, head, head_params, cond, ro, rd, occ, H, W = _setup()
-    head_params = jax.tree.map(
-        lambda p: p.astype(jnp.bfloat16) if p.dtype == jnp.float32 else p, head_params
-    )
     opts = RenderOptions(num_samples=16, T_thresh=1e-2, march_mode="interval")
 
+    # production field path: cond feature computed ONCE per frame, field
+    # evaluated on the compacted samples (same structure as bench_full)
     @jax.jit
     def run(head_params, ro, rd, cond, occ):
         def body(carry, i):
             c = cond + 1e-3 * i + 1e-12 * carry
+            cond_feat = head.apply(head_params, c, None, method=RADNeRF.cal_cond_feat)
+            ind = head.apply(head_params, 0, method=RADNeRF.get_individual_code)
 
             def field_fn(xyz, dirs):
-                s, r, a = head.apply(
-                    head_params, xyz.astype(jnp.bfloat16), dirs.astype(jnp.bfloat16),
-                    c.astype(jnp.bfloat16),
-                )
-                return s.astype(jnp.float32), r.astype(jnp.float32), a.astype(jnp.float32)
+                return head.apply(head_params, xyz, dirs, cond_feat, ind,
+                                  method=RADNeRF.field)
 
             out = render_rays(field_fn, ro, rd, occ, bound=cfg.bound,
                               min_near=cfg.min_near, bg_color=1.0, opts=opts)

@@ -24,6 +24,10 @@ mouth_amp: <input name=mouth_amp value=0.4><br>
 T_thresh: <input name=T_thresh value=0.01><br>
 drv_pose: <input name=drv_pose value=nearest><br>
 <input type=submit value=Generate>
+</form>
+<form method=post enctype=multipart/form-data action=/stream>
+wav file: <input type=file name=wav>
+<input type=submit value="Live stream (MJPEG)">
 </form>"""
 
 
@@ -90,6 +94,38 @@ def serve(infer, host: str = "0.0.0.0", port: int = 7860):
                     with open(path, "wb") as f:
                         f.write(item.file.read())
                     inp[key] = path
+
+            if self.path.rstrip("/") == "/stream":
+                # live MJPEG (multipart/x-mixed-replace): frames push to the
+                # browser as the pipelined renderer emits them — video
+                # starts after the first audio chunk, not the whole clip
+                import cv2
+                import numpy as np
+
+                from genefaceplusplus_tpu.data import audio as audio_lib
+                from genefaceplusplus_tpu.inference.serving import stream_infer
+
+                wav = audio_lib.load_wav_16k(inp["drv_aud"]) if inp.get("drv_aud") else None
+                if wav is None and inp.get("drv_aud_features"):
+                    feats = np.load(inp["drv_aud_features"], allow_pickle=True).tolist()
+                    inp["hubert_full"] = np.asarray(feats["hubert"], np.float32)
+                    t = len(inp["hubert_full"]) * audio_lib.HOP_SIZE
+                    wav = np.asarray(feats.get("wav16k", np.zeros(t, np.float32)))
+                self.send_response(200)
+                self.send_header("Content-Type",
+                                 "multipart/x-mixed-replace; boundary=frame")
+                self.end_headers()
+                with lock:
+                    for frame in stream_infer(infer, wav, inp):
+                        ok, jpg = cv2.imencode(
+                            ".jpg", cv2.cvtColor(frame, cv2.COLOR_RGB2BGR))
+                        if not ok:
+                            continue
+                        self.wfile.write(b"--frame\r\nContent-Type: image/jpeg\r\n\r\n")
+                        self.wfile.write(jpg.tobytes())
+                        self.wfile.write(b"\r\n")
+                return
+
             with lock:
                 out_path = infer.infer_once(inp)
             self.send_response(200)
