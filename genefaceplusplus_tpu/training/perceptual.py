@@ -76,6 +76,37 @@ class VGGFeatures(nn.Module):
         return feats
 
 
+# VGGFace is a VGG16 trained on faces (vgg_face_dag; losses.py:83-111)
+VGG16_PLAN = (
+    (64, False), (64, False),
+    (128, True), (128, False),
+    (256, True), (256, False), (256, False),
+    (512, True), (512, False), (512, False),
+    (512, True), (512, False), (512, False),
+)
+VGG16_RELU_X1 = (0, 2, 4, 7, 10)
+# vgg_face_dag input normalisation (BGR-trained mean in 0-255, applied on
+# RGB in the reference's apply_vggface_normalization)
+VGGFACE_MEAN = (129.186279296875 / 255.0, 104.76238250732422 / 255.0,
+                93.59396362304688 / 255.0)
+
+
+class VGG16Features(nn.Module):
+    """VGG16 (vggface layout) feature extractor -> relu_x_1 pyramid."""
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> List[jnp.ndarray]:
+        feats = []
+        h = x
+        for i, (width, pool_before) in enumerate(VGG16_PLAN):
+            if pool_before:
+                h = nn.max_pool(h, (2, 2), strides=(2, 2))
+            h = nn.relu(nn.Conv(width, (3, 3), padding="SAME")(h))
+            if i in VGG16_RELU_X1:
+                feats.append(h)
+        return feats
+
+
 class PerceptualLoss:
     """Multi-scale fixed-feature distance. Weights are FIXED (never trained);
     arch='vgg19' mirrors the reference loss (layer-weighted L1 over the
@@ -83,12 +114,24 @@ class PerceptualLoss:
     arch='small' (default) is the compact random surrogate."""
 
     def __init__(self, seed: int = 0, weights_path: Optional[str] = None,
-                 widths=(32, 64, 128, 256), arch: str = "small", n_scale: int = 3):
+                 widths=(32, 64, 128, 256), arch: str = "small", n_scale: int = 3,
+                 vggface_weights_path: Optional[str] = None,
+                 vggface_loss_weight: float = 1.0):
         self.arch = arch
         self.n_scale = n_scale
+        self.vggface = None
+        self.vggface_params = None
+        self.vggface_loss_weight = vggface_loss_weight
         if arch == "vgg19":
             self.net = VGG19Features()
             self.params = self.net.init(jax.random.PRNGKey(seed), jnp.zeros((1, 64, 64, 3)))
+            if vggface_weights_path:
+                # the reference's second tower (vgg19 + vggface, losses.py:136-139)
+                from flax import serialization
+
+                self.vggface = VGG16Features()
+                with open(vggface_weights_path, "rb") as f:
+                    self.vggface_params = serialization.msgpack_restore(f.read())
         else:
             self.net = VGGFeatures(widths)
             self.params = self.net.init(jax.random.PRNGKey(seed), jnp.zeros((1, 32, 32, 3)))
@@ -100,10 +143,22 @@ class PerceptualLoss:
             std = jnp.asarray(IMAGENET_STD)
             lw = VGG19_LAYER_WEIGHTS
 
+            vggface, vggface_params = self.vggface, self.vggface_params
+            face_mean = jnp.asarray(VGGFACE_MEAN)
+            face_w = self.vggface_loss_weight
+
             def _vgg_loss(params, a, b):
+                if vggface is not None:
+                    # vggface term: 255-scale inputs, per-layer L1 / 255
+                    # (losses.py:160-168)
+                    fa = vggface.apply(vggface_params, (a - face_mean) * 255.0)
+                    fb = vggface.apply(vggface_params, (b - face_mean) * 255.0)
+                    face_total = 0.0
+                    for w, x, y in zip(lw, fa, fb):
+                        face_total = face_total + w * jnp.mean(jnp.abs(x - y)) / 255.0
                 a = (a - mean) / std
                 b = (b - mean) / std
-                total = 0.0
+                total = face_w * face_total if vggface is not None else 0.0
                 for scale in range(1 + self.n_scale):
                     fa = self.net.apply(params, a)
                     fb = self.net.apply(params, b)

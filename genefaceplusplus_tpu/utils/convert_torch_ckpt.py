@@ -196,6 +196,27 @@ def convert_vgg19(state: Dict[str, np.ndarray]) -> Dict[str, Any]:
     return {"params": params}
 
 
+def convert_vggface(state: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """vgg_face_dag (VGG16, conv_x_y naming) or torchvision-vgg16 state dict
+    -> VGG16Features flax variables (tasks/radnerfs/losses.py:83-111)."""
+    tv_conv_idx = [0, 2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26, 28]
+    names = [
+        "conv1_1", "conv1_2", "conv2_1", "conv2_2",
+        "conv3_1", "conv3_2", "conv3_3",
+        "conv4_1", "conv4_2", "conv4_3",
+        "conv5_1", "conv5_2", "conv5_3",
+    ]
+    params: Dict[str, Any] = {}
+    for i, (tv, nm) in enumerate(zip(tv_conv_idx, names)):
+        if f"{nm}.weight" in state:
+            w, b = state[f"{nm}.weight"], state[f"{nm}.bias"]
+        else:
+            w, b = state[f"features.{tv}.weight"], state[f"features.{tv}.bias"]
+        params[f"Conv_{i}"] = {"kernel": conv2d_to_flax(np.asarray(w)),
+                               "bias": np.asarray(b)}
+    return {"params": params}
+
+
 def convert_radnerf_grid(state: Dict[str, np.ndarray], grid_size: int = 128) -> Dict[str, Any]:
     """RADNeRF (grid path) torch state dict -> flax params + render state.
 

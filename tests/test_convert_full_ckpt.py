@@ -319,6 +319,49 @@ def test_perceptual_vgg19_mode_runs():
     assert float(loss(a, a)) < 1e-6
 
 
+def test_vggface_conversion_and_dual_tower(tmp_path):
+    """convert_vggface maps the vgg_face_dag (conv_x_y) layout; the dual
+    vgg19+vggface loss runs like the reference's (losses.py:136-168)."""
+    import jax
+    from flax import serialization
+
+    from genefaceplusplus_tpu.training.perceptual import (
+        VGG16_PLAN, PerceptualLoss, VGG16Features,
+    )
+    from genefaceplusplus_tpu.utils.convert_torch_ckpt import convert_vggface
+
+    # fake vgg_face_dag-named state dict with exact conv shapes
+    rng = np.random.RandomState(0)
+    names = ["conv1_1", "conv1_2", "conv2_1", "conv2_2",
+             "conv3_1", "conv3_2", "conv3_3",
+             "conv4_1", "conv4_2", "conv4_3",
+             "conv5_1", "conv5_2", "conv5_3"]
+    state = {}
+    in_ch = 3
+    for nm, (width, _) in zip(names, VGG16_PLAN):
+        state[f"{nm}.weight"] = rng.randn(width, in_ch, 3, 3).astype(np.float32) * 0.05
+        state[f"{nm}.bias"] = rng.randn(width).astype(np.float32) * 0.05
+        in_ch = width
+    variables = convert_vggface(state)
+    net = VGG16Features()
+    feats = net.apply(variables, np.zeros((1, 64, 64, 3), np.float32))
+    assert len(feats) == 5
+    # conversion is complete: every flax conv leaf filled
+    tmpl = net.init(jax.random.PRNGKey(0), np.zeros((1, 64, 64, 3), np.float32))
+    assert (jax.tree.structure(tmpl) == jax.tree.structure(variables))
+
+    p = tmp_path / "vggface.msgpack"
+    with open(p, "wb") as f:
+        f.write(serialization.msgpack_serialize(variables))
+    loss = PerceptualLoss(arch="vgg19", n_scale=0, vggface_weights_path=str(p))
+    a = np.random.RandomState(0).rand(1, 64, 64, 3).astype(np.float32)
+    b = np.random.RandomState(1).rand(1, 64, 64, 3).astype(np.float32)
+    two_tower = float(loss(a, b))
+    solo = float(PerceptualLoss(arch="vgg19", n_scale=0, seed=0)(a, b))
+    assert np.isfinite(two_tower) and two_tower > 0
+    assert float(loss(a, a)) < 1e-6
+
+
 def test_radnerf_grid_conversion_is_complete():
     import jax
     import jax.numpy as jnp
