@@ -488,6 +488,7 @@ class GeneFaceInfer:
         eye_areas = jnp.asarray(batch["eye_area_percent"])  # [T, 1]
         lm68s = jnp.asarray(batch["lm68"], jnp.float32)  # [T, 68, 2]
 
+        debug = bool(inp.get("debug", False))
         tmp_video = os.path.splitext(inp["out_name"])[0] + "_novoice.mp4"
         writer = StreamingVideoWriter(tmp_video, fps=25)
         for start in range(0, T, chunk):
@@ -504,7 +505,22 @@ class GeneFaceInfer:
             )
             imgs = np.asarray(imgs)
             for j in range(n_real):
-                writer.append(imgs[j])
+                frame = imgs[j]
+                if debug:
+                    # side panel with the driving lm68 overlay
+                    # (the reference's SECC/landmark debug panels,
+                    # genefacepp_infer.py:489-495)
+                    from genefaceplusplus_tpu.data.visualization import (
+                        draw_landmarks, side_by_side,
+                    )
+
+                    base = (np.clip(frame, 0, 1) * 255).astype(np.uint8)
+                    panel = draw_landmarks(
+                        np.zeros_like(base), batch["lm68"][idxs[j]],
+                        color=(64, 255, 64), radius=max(1, base.shape[0] // 128),
+                    )
+                    frame = side_by_side(base, panel).astype(np.float32) / 255.0
+                writer.append(frame)
         writer.close()
 
         wav_path = os.path.splitext(inp["out_name"])[0] + "_audio.wav"
