@@ -96,42 +96,69 @@ def step_segment(out_dir: str, mp_model_path: str = None) -> None:
     from genefaceplusplus_tpu.data import segmenter as seg_lib
 
     seg_dir = os.path.join(out_dir, "segmaps")
-    names_frames = list(_load_frames_rgb(out_dir))
-    names = [n for n, _ in names_frames]
-    frames = [f for _, f in names_frames]
+    frame_dir = os.path.join(out_dir, "gt_imgs")
+    names = sorted(os.listdir(frame_dir))
+    T = len(names)
 
-    have_pngs = os.path.isdir(seg_dir) and len(os.listdir(seg_dir)) >= len(names)
+    have_pngs = os.path.isdir(seg_dir) and len(os.listdir(seg_dir)) >= T
+    mp_seg = None
     if have_pngs:
         print("| using precomputed segmaps/")
-        segmaps = [
-            seg_lib.load_segmap(os.path.join(seg_dir, os.path.splitext(n)[0] + ".png"))
-            for n in names
-        ]
     else:
         from genefaceplusplus_tpu.data.mp_extract import MediapipeSegmenter
 
         mp_seg = MediapipeSegmenter(mp_model_path)
-        segmaps = mp_seg.segment_video(frames)
+        mp_video_seg = mp_seg._vision.ImageSegmenter.create_from_options(
+            mp_seg.video_options)
 
-    # per-frame crops + inpainted torso (+ segmap pngs if fresh)
-    for name, img, segmap in zip(names, frames, segmaps):
+    def load_frame(name):
+        return cv2.cvtColor(cv2.imread(os.path.join(frame_dir, name)),
+                            cv2.COLOR_BGR2RGB)
+
+    def get_segmap(i, name, img):
+        if have_pngs:
+            return seg_lib.load_segmap(
+                os.path.join(seg_dir, os.path.splitext(name)[0] + ".png"))
+        import mediapipe as mp
+
+        image = mp.Image(image_format=mp.ImageFormat.SRGB,
+                         data=np.asarray(img, np.uint8))
+        cat = mp_video_seg.segment_for_video(image, 40 * i).category_mask
+        return seg_lib.onehot_from_categories(cat.numpy_view().copy().astype(np.int64))
+
+    # streaming pass 1: per-frame crops + inpainted torso, keeping only the
+    # bg-sampled frames in memory (a 5-min 512² video would otherwise need
+    # ~6 GB; the reference hits the same wall, extract_segment_imgs.py
+    # store_in_memory warning)
+    interval = 5 if T <= 100 else (20 if T < 10000 else T // 500)
+    sample_idx = set(range(0, T, interval)) if T > interval else {0}
+    bg_frames, bg_segmaps = [], []
+    for i, name in enumerate(names):
+        img = load_frame(name)
+        segmap = get_segmap(i, name, img)
         seg_lib.generate_segment_images(out_dir, name, img, segmap)
+        if i in sample_idx:
+            bg_frames.append(img)
+            bg_segmaps.append(segmap)
 
-    # KNN background over sampled frames
-    bg = seg_lib.extract_background(frames, segmaps)
+    # KNN background over the sampled frames only
+    bg = seg_lib.extract_background(bg_frames, bg_segmaps, select_interval=1)
     cv2.imwrite(os.path.join(out_dir, "bg.jpg"), cv2.cvtColor(bg, cv2.COLOR_RGB2BGR))
 
-    # com_imgs: person over reconstructed background (binarizer gt source)
+    # streaming pass 2: com_imgs = person over reconstructed background
     com_dir = os.path.join(out_dir, "com_imgs")
     os.makedirs(com_dir, exist_ok=True)
-    for name, img, segmap in zip(names, frames, segmaps):
+    for i, name in enumerate(names):
+        img = load_frame(name)
+        segmap = seg_lib.load_segmap(
+            os.path.join(seg_dir, os.path.splitext(name)[0] + ".png"))
         person, mask = seg_lib.segment_out(img, segmap, "person")
         com = np.where(mask[..., None], person, bg)
         cv2.imwrite(
             os.path.join(com_dir, os.path.splitext(name)[0] + ".jpg"),
             cv2.cvtColor(com, cv2.COLOR_RGB2BGR),
         )
-    print(f"| segment step done: {len(names)} frames")
+    print(f"| segment step done: {T} frames")
 
 
 def step_background(out_dir: str, n_samples: int = 32) -> None:
