@@ -93,7 +93,7 @@ def bench_full(n_frames: int = 50):
             bg_coords, bg_color, lm68, occ2d)
     float(run(*args))  # compile
     best = float("inf")
-    for k in (1, 2, 3):  # vary cond: the tunnel memoizes identical dispatches
+    for k in (1, 2, 3, 4, 5):  # vary cond: the tunnel memoizes identical dispatches
         t0 = time.perf_counter()
         float(run(head_params, torso_params, sr_params, cond + 0.01 * k, occ,
                   ro, rd, bg_coords, bg_color, lm68, occ2d))
