@@ -52,3 +52,30 @@ def shard_rays(mesh: Mesh, *arrays):
 
 def pad_to_multiple(n: int, m: int) -> int:
     return (n + m - 1) // m * m
+
+
+def init_distributed(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> int:
+    """Multi-host initialisation over DCN (SURVEY §2.8: the honest
+    equivalent of the reference's NCCL rendezvous,
+    utils/commons/trainer.py:579-600 — TCP/NFS rendezvous + world_size/rank
+    flags). On TPU pods the arguments come from the environment and can be
+    omitted entirely; returns the global device count.
+
+    After this, `make_mesh()` over `jax.devices()` spans all hosts and the
+    same pjit-ed step runs unchanged — collectives ride ICI within a slice
+    and DCN across slices, inserted by XLA.
+    """
+    import jax
+
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs = dict(coordinator_address=coordinator_address,
+                      num_processes=num_processes, process_id=process_id)
+    try:
+        jax.distributed.initialize(**kwargs)
+    except (RuntimeError, ValueError) as e:
+        # single-process / already-initialised: proceed on local devices
+        print(f"| jax.distributed.initialize skipped: {e}")
+    return len(jax.devices())

@@ -20,6 +20,7 @@ TASK_REGISTRY = {
     "head": "head",
     "torso": "torso",
     "a2m": "a2m",
+    "postnet": "postnet",
 }
 
 
@@ -80,6 +81,17 @@ def main(argv=None):
             seq_len=cfg.get("seq_len", 64), batch_size=cfg.get("batch_size", 8),
             use_pitch=cfg.get("use_pitch", True),
             audio_in_dim=cfg.get("audio_in_dim", 1024),
+        ), seed=cfg.get("seed", 9999))
+    elif kind == "postnet":
+        from genefaceplusplus_tpu.training.tasks.postnet_task import (
+            PostnetTask, PostnetTaskConfig,
+        )
+
+        task = PostnetTask(dataset, PostnetTaskConfig(
+            lr=cfg.get("lr", 1e-4), seq_len=cfg.get("seq_len", 64),
+            batch_size=cfg.get("batch_size", 4),
+            hidden=cfg.get("postnet_hidden", 256),
+            n_layers=cfg.get("postnet_layers", 4),
         ), seed=cfg.get("seed", 9999))
     elif cfg.get("with_sr", False):
         from genefaceplusplus_tpu.training.tasks.sr_task import SRHeadNeRFTask, SRTaskConfig
