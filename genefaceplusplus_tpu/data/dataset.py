@@ -24,6 +24,7 @@ stack, used by tests and demos.
 from __future__ import annotations
 
 import os
+from collections import OrderedDict
 from typing import Dict, List, Optional
 
 import numpy as np
@@ -86,6 +87,13 @@ class RADNeRFDataset:
         self.samples: List[Dict] = ds[f"{split}_samples"]
         self.cond_win_size = cond_win_size
         self.smo_win_size = smo_win_size
+        # decoded-image LRU (uint8, at target resolution): every train step
+        # samples a random frame, so without this each step pays a disk read
+        # + JPEG decode + resize (the reference leans on the torch DataLoader
+        # worker pool for the same job)
+        self._img_cache: "OrderedDict[tuple, np.ndarray]" = OrderedDict()
+        self._img_cache_bytes = 0
+        self.img_cache_mb = 1024
 
         # ngp-convention c2w poses
         c2ws = np.stack([s["c2w"] for s in self.samples])
@@ -135,10 +143,26 @@ class RADNeRFDataset:
         win[~valid] = 0.0
         return win
 
+    def _cache_put(self, key, u8: np.ndarray):
+        self._img_cache[key] = u8
+        self._img_cache_bytes += u8.nbytes
+        cap = self.img_cache_mb * 2 ** 20
+        while self._img_cache_bytes > cap and self._img_cache:
+            _, old = self._img_cache.popitem(last=False)
+            self._img_cache_bytes -= old.nbytes
+
     def load_image(self, i: int, kind: str = "gt", with_alpha: bool = False) -> Optional[np.ndarray]:
         """Load gt/head/torso image for frame i as float [H, W, 3] in [0,1]
-        (or [H, W, 4] with `with_alpha` when the stored image has alpha)."""
+        (or [H, W, 4] with `with_alpha` when the stored image has alpha).
+        Decoded+resized frames are LRU-cached as uint8 (img_cache_mb cap)."""
         import cv2
+
+        key = (i, kind)
+        cached = self._img_cache.get(key)
+        if cached is not None:
+            self._img_cache.move_to_end(key)
+            img = cached.astype(np.float32) / 255.0
+            return img if (with_alpha and img.shape[-1] == 4) else img[..., :3]
 
         fname = self.samples[i].get(f"{kind}_img_fname")
         if fname is None or not os.path.exists(fname):
@@ -158,6 +182,9 @@ class RADNeRFDataset:
             img = img / 255.0
         if img.shape[0] != self.H:
             img = cv2.resize(img, (self.W, self.H))
+        u8 = np.clip(np.round(img * 255.0), 0, 255).astype(np.uint8)
+        self._cache_put(key, u8)
+        img = u8.astype(np.float32) / 255.0  # first access == cached access
         return img if (with_alpha and img.shape[-1] == 4) else img[..., :3]
 
     def frame_bg_torso(self, i: int) -> Optional[np.ndarray]:
