@@ -25,6 +25,14 @@ def get_audio_features(features: jnp.ndarray, index, smo_win_size: int = 8, att_
     T = features.shape[0]
     if att_mode == 0:
         return jnp.take(features, jnp.asarray([index]), axis=0)
+    if att_mode == 1:
+        # causal window: the smo_win frames ENDING at index (utils.py:79-88),
+        # zero-padded before t=0 — the streaming-friendly variant
+        offs = jnp.arange(smo_win_size) + (index - smo_win_size + 1)
+        valid = offs >= 0
+        gathered = jnp.take(features, jnp.clip(offs, 0, T - 1), axis=0)
+        mask = valid.reshape((smo_win_size,) + (1,) * (features.ndim - 1))
+        return jnp.where(mask, gathered, 0.0)
     if att_mode == 2:
         left = index - smo_win_size // 2
         offs = jnp.arange(smo_win_size) + left
