@@ -66,7 +66,11 @@ def bench_full(n_frames: int = 50):
     sr_params = sr.init(jax.random.PRNGKey(3), jnp.zeros((1, H, W, 3)))
     occ2d = jnp.ones((cfg.grid_size, cfg.grid_size)) * 0.5
     bg_color = jnp.ones((H * W, 3))
-    opts = RenderOptions(num_samples=16, T_thresh=1e-2, march_mode="interval")
+    # production inference path (inference/pipeline.py): coarse-probe entry
+    # + 10-sample budget, bit-identical to 16-sample AABB-entry renders on
+    # trained identities (tests/test_entry_probe.py, docs/DESIGN.md)
+    opts = RenderOptions(num_samples=10, T_thresh=1e-2, march_mode="interval",
+                         entry_mode="probe")
 
     # every array is a jit ARGUMENT: arrays captured as closure constants
     # get constant-folded by XLA at compile time, which blows the compile
@@ -109,7 +113,8 @@ def bench_head(n_frames: int = 25):
     from genefaceplusplus_tpu.models.renderer import RenderOptions, render_rays
 
     cfg, head, head_params, cond, ro, rd, occ, H, W = _setup()
-    opts = RenderOptions(num_samples=16, T_thresh=1e-2, march_mode="interval")
+    opts = RenderOptions(num_samples=10, T_thresh=1e-2, march_mode="interval",
+                         entry_mode="probe")
 
     # production field path: cond feature computed ONCE per frame, field
     # evaluated on the compacted samples (same structure as bench_full)
@@ -125,7 +130,8 @@ def bench_head(n_frames: int = 25):
                                   method=RADNeRF.field)
 
             out = render_rays(field_fn, ro, rd, occ, bound=cfg.bound,
-                              min_near=cfg.min_near, bg_color=1.0, opts=opts)
+                              min_near=cfg.min_near, bg_color=1.0, opts=opts,
+                              image_hw=(H, W))
             return out.rgb_map.sum(), ()
 
         tot, _ = jax.lax.scan(body, 0.0, jnp.arange(n_frames, dtype=jnp.float32))

@@ -474,9 +474,15 @@ class GeneFaceInfer:
         ds = self.dataset
         H, W = ds.H, ds.W
         T = batch["T"]
+        # production fast path: coarse-probe entry + 10-sample budget is
+        # bit-identical to the 16-sample AABB-entry render on trained
+        # identities (tests/test_entry_probe.py + docs/DESIGN.md perf log)
+        # and ~1.5x faster on the head stage; override via inp if needed.
         opts = RenderOptions(
-            num_coarse=48, num_samples=16,
+            num_coarse=48,
+            num_samples=int(inp.get("num_samples", 10)),
             T_thresh=float(inp.get("T_thresh", 1e-2)),
+            entry_mode=str(inp.get("entry_mode", "probe")),
         )
         chunk = int(inp.get("frames_per_dispatch", 8))
         chunk = max(1, min(chunk, T))

@@ -149,7 +149,12 @@ def _dispatch_render(infer, batch, inp):
 
     ds = infer.dataset
     H, W = ds.H, ds.W
-    opts = RenderOptions(num_coarse=48, num_samples=16, T_thresh=float(inp.get("T_thresh", 1e-2)))
+    opts = RenderOptions(
+        num_coarse=48,
+        num_samples=int(inp.get("num_samples", 10)),
+        T_thresh=float(inp.get("T_thresh", 1e-2)),
+        entry_mode=str(inp.get("entry_mode", "probe")),
+    )
     T = batch["T"]
     chunk = max(1, min(int(inp.get("frames_per_dispatch", 8)), T))
     chunk_fn = infer._build_chunk_fn(opts, H, W, chunk)

@@ -71,6 +71,7 @@ def render_full_frame(
         bound=cfg.bound, min_near=cfg.min_near,
         bg_color=0.0,  # defer background blending to the torso composite
         opts=opts,
+        image_hw=image_hw,
     )
     head_image = head_out.head_image
     weights_sum = head_out.weights_sum

@@ -38,6 +38,14 @@ class RenderOptions:
     # 'interval': gather-free occupied-AABB marching (TPU fast path)
     # 'grid': per-cell occupancy testing (exact reference semantics)
     march_mode: str = "interval"
+    # 'aabb': entry = occupied-AABB slab only
+    # 'probe': + strided coarse-occupancy entry-depth prepass (needs
+    #   image_hw at the render_rays call, interval mode only) — tightens the
+    #   per-ray entry so num_samples can drop ~16 -> ~10 at equal coverage
+    entry_mode: str = "aabb"
+    probe_stride: int = 4
+    probe_coarse_factor: int = 4
+    n_probe: int = 32
 
 
 class RenderOutput(NamedTuple):
@@ -65,12 +73,15 @@ def render_rays(
     bg_color,  # scalar or [R, 3]
     opts: RenderOptions,
     noise: Optional[jnp.ndarray] = None,  # [R] in [0,1) for perturb
+    image_hw: Optional[tuple] = None,  # enables entry_mode='probe'
 ) -> RenderOutput:
     """Render a batch of rays through a conditioned field.
 
     Args:
       field_fn: (xyz [M,3], dirs [M,3]) -> (sigma [M], rgb [M,3], amb [M,D]).
         The caller closes over cond_feat/ind_code (they are per-frame).
+      image_hw: (H, W) of the image-ordered ray grid; required when
+        opts.entry_mode == 'probe' (the prepass subsamples the ray grid).
     """
     R = rays_o.shape[0]
     S = opts.num_samples
@@ -79,11 +90,18 @@ def render_rays(
 
     if opts.march_mode == "interval":
         occ_box = raymarch.occupancy_aabb(occupancy, bound)
+        t_entry = None
+        if opts.entry_mode == "probe" and image_hw is not None:
+            t_entry = raymarch.entry_depth_map(
+                rays_o, rays_d, occupancy, occ_box, bound, image_hw,
+                stride=opts.probe_stride, coarse_factor=opts.probe_coarse_factor,
+                n_probe=opts.n_probe, min_near=min_near,
+            )
         m = raymarch.march_rays_interval(
             rays_o, rays_d, nears, fars, occ_box,
             bound=bound, dt_gamma=opts.dt_gamma, max_steps=opts.max_steps,
             num_samples=S, noise=noise, min_near=min_near,
-            grid_size=occupancy.shape[0],
+            grid_size=occupancy.shape[0], t_entry=t_entry,
         )
     else:
         m = raymarch.march_rays(

@@ -25,6 +25,7 @@ from __future__ import annotations
 import math
 from typing import NamedTuple, Optional
 
+import jax
 import jax.numpy as jnp
 
 SQRT3 = math.sqrt(3.0)
@@ -106,6 +107,108 @@ def occupancy_aabb(occupancy: jnp.ndarray, bound: float = 1.0) -> jnp.ndarray:
     return jnp.stack(mins + maxs)
 
 
+def coarsen_occupancy(occupancy: jnp.ndarray, factor: int = 4, dilate: bool = True) -> jnp.ndarray:
+    """Conservative coarse occupancy: [H,H,H] bool -> [H/f,H/f,H/f] bool.
+
+    A coarse cell is occupied iff ANY fine cell inside it is (max-pool), then
+    optionally dilated by one coarse cell (3^3 max-pool) so that a probe
+    lattice stepping one coarse-cell-size per step can never hop over an
+    occupied region (the dilated region is >=3 cells wide along every axis
+    through an occupied cell, while one step advances <=1 cell per axis).
+    Mirrors the intent of the reference's morton3D_dilation
+    (raymarching.cu:304) applied at the coarse level.
+    """
+    H = occupancy.shape[0]
+    assert H % factor == 0, (H, factor)
+    h = H // factor
+    coarse = occupancy.reshape(h, factor, h, factor, h, factor).any(axis=(1, 3, 5))
+    if dilate:
+        f = coarse.astype(jnp.float32)
+        k = jnp.ones((3, 3, 3, 1, 1), jnp.float32)
+        f = jax.lax.conv_general_dilated(
+            f[None, ..., None], k, window_strides=(1, 1, 1),
+            padding="SAME", dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        )[0, ..., 0]
+        coarse = f > 0.0
+    return coarse
+
+
+def probe_entry(
+    rays_o: jnp.ndarray,  # [Rc, 3]
+    rays_d: jnp.ndarray,  # [Rc, 3]
+    t0: jnp.ndarray,  # [Rc] probe start (occupied-AABB entry)
+    t1: jnp.ndarray,  # [Rc] probe end (occupied-AABB exit)
+    occ_coarse: jnp.ndarray,  # [h, h, h] bool (dilated coarse occupancy)
+    bound: float,
+    n_probe: int = 24,
+    probe_dt: Optional[float] = None,
+) -> jnp.ndarray:
+    """First probe-lattice t whose (dilated) coarse cell is occupied, per ray.
+
+    Returns t_first [Rc]; rays where no probe hits fall back to t0 (the
+    conservative global entry — never a regression vs. AABB-only marching).
+    """
+    h = occ_coarse.shape[0]
+    if probe_dt is None:
+        probe_dt = 2.0 * bound / h  # one coarse cell per step (safe: dilated)
+    steps = jnp.arange(n_probe, dtype=jnp.float32)
+    ts = t0[:, None] + steps[None, :] * probe_dt  # [Rc, P]
+    xyz = rays_o[:, None, :] + ts[..., None] * rays_d[:, None, :]
+    occ = occupancy_lookup(occ_coarse, jnp.clip(xyz, -bound, bound), bound)
+    hit = occ & (ts < t1[:, None])
+    # first hit index (n_probe if none)
+    idx = jnp.argmax(hit, axis=-1)
+    any_hit = hit.any(axis=-1)
+    t_first = t0 + idx.astype(jnp.float32) * probe_dt
+    # one probe step of margin for lattice discretisation; dilation already
+    # covers the coarse/fine mismatch
+    return jnp.where(any_hit, jnp.maximum(t_first - probe_dt, t0), t0)
+
+
+def entry_depth_map(
+    rays_o: jnp.ndarray,  # [H*W, 3] image-ordered rays
+    rays_d: jnp.ndarray,  # [H*W, 3]
+    occupancy: jnp.ndarray,  # [G, G, G] bool fine occupancy
+    occ_aabb: jnp.ndarray,  # [6] from occupancy_aabb
+    bound: float,
+    image_hw: tuple,
+    stride: int = 4,
+    coarse_factor: int = 4,
+    n_probe: int = 24,
+    min_near: float = 0.05,
+) -> jnp.ndarray:
+    """Per-ray tightened entry depth via a strided coarse-ray probe prepass.
+
+    The TPU-native answer to the reference marcher's per-cell empty-space
+    skipping (raymarching.cu:429-441): instead of 1M occupancy gathers per
+    frame, probe a stride-subsampled ray grid (H/s x W/s rays, ~4k) against
+    a dilated coarse occupancy (G/f)^3, min-pool the resulting entry-depth
+    map over a 3x3 neighbourhood (conservative under upsampling: neighbour
+    coarse rays pass well within one coarse cell of every covered fine ray),
+    and nearest-upsample back to the full ray grid. ~100k gathers (~0.8 ms)
+    buys a per-ray entry tight to ~2 coarse steps, which lets the fine
+    sample budget S drop from 16 to ~10 at equal coverage of the occupied
+    depth range (docs/DESIGN.md perf log).
+
+    Returns t_entry [H*W] (later clamped into [near, far] by the marcher).
+    """
+    H, W = image_hw
+    ro = rays_o.reshape(H, W, 3)[::stride, ::stride].reshape(-1, 3)
+    rd = rays_d.reshape(H, W, 3)[::stride, ::stride].reshape(-1, 3)
+    hc, wc = H // stride, W // stride
+    n2, f2 = near_far_from_aabb(ro, rd, occ_aabb, min_near)
+    occ_coarse = coarsen_occupancy(occupancy, coarse_factor, dilate=True)
+    t_first = probe_entry(ro, rd, n2, f2, occ_coarse, bound, n_probe=n_probe)
+    tmap = t_first.reshape(1, hc, wc, 1)
+    # conservative 3x3 min-pool
+    tmap = -jax.lax.reduce_window(
+        -tmap, -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 1, 1, 1), "SAME"
+    )
+    # nearest upsample back to [H, W]
+    tmap = jnp.repeat(jnp.repeat(tmap[0, ..., 0], stride, axis=0), stride, axis=1)
+    return tmap.reshape(H * W)
+
+
 def march_rays_interval(
     rays_o: jnp.ndarray,
     rays_d: jnp.ndarray,
@@ -119,6 +222,7 @@ def march_rays_interval(
     noise: Optional[jnp.ndarray] = None,
     min_near: float = 0.05,
     grid_size: int = 128,
+    t_entry: Optional[jnp.ndarray] = None,  # [R] from entry_depth_map
 ) -> MarchResult:
     """Gather-free marching: intersect each ray with the occupied-region AABB
     and place `num_samples` fixed-dt lattice samples from the entry point.
@@ -135,6 +239,10 @@ def march_rays_interval(
     n2, f2 = near_far_from_aabb(rays_o, rays_d, occ_aabb, min_near)
     t0 = jnp.maximum(nears, n2)
     t1 = jnp.minimum(fars, f2)
+    if t_entry is not None:
+        # tightened per-ray entry from the coarse probe prepass; never later
+        # than the exit (zero-sample rays keep t0 == t1)
+        t0 = jnp.clip(t_entry, t0, t1)
     # an entirely-unoccupied grid yields an inverted box (min > max), which
     # the slab test cannot distinguish from its mirror — mask it explicitly
     empty = jnp.any(occ_aabb[:3] > occ_aabb[3:])
