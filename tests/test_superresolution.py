@@ -100,3 +100,44 @@ def test_superresolution_2x():
     o3 = model.apply(variables2, rgb, noise_mode="random", rng=jax.random.PRNGKey(2))
     o4 = model.apply(variables2, rgb, noise_mode="random", rng=jax.random.PRNGKey(3))
     assert not np.allclose(np.asarray(o3), np.asarray(o4))
+
+
+def test_subpixel_upconv_matches_generic_path():
+    """The fused-FIR subpixel up-conv (ops/upfirdn2d.py:_conv2d_up_subpixel)
+    is bit-close to the two-pass reference formulation (upfirdn2d zero-insert
+    + FIR depthwise, then VALID conv) across kernel sizes, up factors, odd
+    sizes, and both weight-flip conventions."""
+    import numpy as np
+    import jax.numpy as jnp
+    from jax import lax
+
+    from genefaceplusplus_tpu.ops.upfirdn2d import (
+        _parse_padding, conv2d_resample, setup_filter, upfirdn2d,
+    )
+
+    rng = np.random.RandomState(0)
+    f = setup_filter([1, 3, 3, 1])
+
+    def generic(x, w, f, up, padding, flip_weight):
+        fw = f.shape[-1]
+        fh = f.shape[-2]
+        px0, px1, py0, py1 = _parse_padding(padding)
+        px0 += (fw + up - 1) // 2
+        px1 += (fw - up) // 2
+        py0 += (fh + up - 1) // 2
+        py1 += (fh - up) // 2
+        z = upfirdn2d(x, f, up=up, padding=(px0, px1, py0, py1), gain=up ** 2)
+        ww = jnp.flip(w, axis=(0, 1)) if not flip_weight else w
+        return lax.conv_general_dilated(
+            z, ww, (1, 1), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    for (Hn, k, up, pad, flip) in [
+        (16, 3, 2, 1, False), (16, 3, 2, 1, True), (16, 1, 2, 0, False),
+        (17, 3, 2, 1, False), (16, 3, 4, 1, False), (8, 5, 2, 2, True),
+    ]:
+        x = jnp.asarray(rng.randn(2, Hn, Hn, 8), jnp.float32)
+        w = jnp.asarray(rng.randn(k, k, 8, 5), jnp.float32)
+        a = generic(x, w, f, up, pad, flip)
+        b = conv2d_resample(x, w, f=f, up=up, padding=pad, flip_weight=flip)
+        assert a.shape == b.shape, (a.shape, b.shape)
+        assert float(jnp.abs(a - b).max()) < 1e-4, (Hn, k, up, pad, flip)
