@@ -3,10 +3,17 @@
 Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
 
 Headline metric: fps of the COMPLETE per-frame pipeline — head NeRF at
-256^2 (interval marching, 16 samples/ray) + torso field + 2x StyleGAN2 SR
-to 512^2 — against the BASELINE.md north star of 25 fps 512^2 head+torso
-per chip (the reference ships 25 fps video; claims ~45 fps raw NeRF-only
-on A100-class fp16). BENCH_MODE=head measures the raw head render only.
+256^2 (probe-entry interval marching, 10 samples/ray, auto head crop) +
+torso field + 2x StyleGAN2 SR to 512^2 — against the BASELINE.md north
+star of 25 fps 512^2 head+torso per chip (the reference ships 25 fps
+video; claims ~45 fps raw NeRF-only on A100-class fp16).
+
+Scene (round 2+): a head-sized occupancy calibrated to the May identity
+framing (face box ~half the frame), rendered with the production
+inference path incl. auto head crop (inference/pipeline.py defaults).
+BENCH_SCENE=fullframe restores the rounds-1/2 frame-filling occupancy
+(no crop possible; measures the same code full-frame).
+BENCH_MODE=head measures the raw head render only (no crop, full frame).
 
 Timing methodology (docs/DESIGN.md): the frame loop lives ON DEVICE
 (lax.scan) with per-frame varying conditions — the axon tunnel adds ~26 ms
@@ -40,8 +47,18 @@ def _setup():
     rays = get_rays(jnp.asarray(pose[None]), (2.0 * W, 2.0 * H, W / 2, H / 2), H, W)
     g = cfg.grid_size
     xx, yy, zz = np.meshgrid(*([np.linspace(-1, 1, g)] * 3), indexing="ij")
-    occupancy = jnp.asarray((xx ** 2 + (2 * yy) ** 2 + zz ** 2) < 0.6)
-    return cfg, head, head_params, cond, rays["rays_o"][0], rays["rays_d"][0], occupancy, H, W
+    if os.environ.get("BENCH_SCENE", "head") == "fullframe":
+        # rounds 1-2 scene: an occupancy whose projection overflows the frame
+        # (every ray intersects it — no crop possible). Kept for comparison.
+        occupancy = jnp.asarray((xx ** 2 + (2 * yy) ** 2 + zz ** 2) < 0.6)
+    else:
+        # head-sized occupancy calibrated to the May identity framing: the
+        # face box spans roughly half the frame (512^2 video, face_rect
+        # ~[0.25..0.75]W x [0.2..0.75]H — binarizer_nerf.py:72). Projection
+        # extent here -> auto_head_crop picks 192^2 at 256^2 raw res.
+        occupancy = jnp.asarray(
+            (xx ** 2 + (2.2 * yy) ** 2 + (1.4 * zz) ** 2) < 0.16)
+    return cfg, head, head_params, cond, rays["rays_o"][0], rays["rays_d"][0], occupancy, H, W, pose
 
 
 def bench_full(n_frames: int = 50):
@@ -54,7 +71,9 @@ def bench_full(n_frames: int = 50):
     from genefaceplusplus_tpu.models.superresolution import Superresolution
     from genefaceplusplus_tpu.utils.rays import get_bg_coords
 
-    cfg, head, head_params, cond, ro, rd, occ, H, W = _setup()
+    cfg, head, head_params, cond, ro, rd, occ, H, W, pose = _setup()
+    from genefaceplusplus_tpu.models.full_renderer import auto_head_crop
+    head_crop = auto_head_crop(occ, pose[None], (2.0 * W, 2.0 * H, W / 2, H / 2), H, W, bound=cfg.bound)
     torso = TorsoField(TorsoConfig())
     bg_coords = get_bg_coords(H, W)[0]
     lm68 = jax.random.uniform(jax.random.PRNGKey(1), (1, 68, 2))
@@ -86,7 +105,7 @@ def bench_full(n_frames: int = 50):
                 bg_color=bg_color, opts=opts, image_hw=(H, W),
                 torso_model=torso, torso_params=torso_params,
                 bg_coords=bg_coords, lm68=lm68, occupancy_2d=occ2d,
-                sr_model=sr, sr_params=sr_params,
+                sr_model=sr, sr_params=sr_params, head_crop=head_crop,
             )
             return out.sr_rgb_map.sum(), ()
 
@@ -112,7 +131,7 @@ def bench_head(n_frames: int = 25):
     from genefaceplusplus_tpu.models.radnerf import RADNeRF
     from genefaceplusplus_tpu.models.renderer import RenderOptions, render_rays
 
-    cfg, head, head_params, cond, ro, rd, occ, H, W = _setup()
+    cfg, head, head_params, cond, ro, rd, occ, H, W, pose = _setup()
     opts = RenderOptions(num_samples=10, T_thresh=1e-2, march_mode="interval",
                          entry_mode="probe")
 

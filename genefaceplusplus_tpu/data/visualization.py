@@ -71,6 +71,16 @@ def debug_fit_video(
         jnp.asarray(coeff["euler"][:T]), jnp.asarray(coeff["trans"][:T]),
     ))
 
+    # camera trajectory panel from the fitted pose sequence (the reference's
+    # camera-frusta debug panel, fit_3dmm_landmark.py:397-451)
+    from genefaceplusplus_tpu.data.binarizer import deep3d_to_nerf_c2w
+
+    try:
+        c2ws = np.asarray(deep3d_to_nerf_c2w(
+            np.asarray(coeff["euler"][:T]), np.asarray(coeff["trans"][:T])))
+    except Exception:
+        c2ws = None
+
     writer = StreamingVideoWriter(out_path, fps=25)
     errs = []
     for i in range(T):
@@ -82,6 +92,9 @@ def debug_fit_video(
         img = draw_landmarks(img, pred2d[i], color=(64, 255, 64))
         errs.append(landmark_error_px(pred2d[i], det / np.asarray([W, H])
                                       if det.max() > 1.5 else det, H, W))
+        if c2ws is not None:
+            img = side_by_side(
+                img, draw_camera_trajectory(c2ws, size=H, highlight=i))
         writer.append(img)
     writer.close()
     print(f"| debug fit video: {out_path}; mean lm error {np.mean(errs):.2f} px")
@@ -93,3 +106,53 @@ def side_by_side(*imgs: np.ndarray) -> np.ndarray:
     hs = {im.shape[0] for im in imgs}
     assert len(hs) == 1, f"heights differ: {[im.shape for im in imgs]}"
     return np.concatenate([np.asarray(im) for im in imgs], axis=1)
+
+
+def draw_camera_trajectory(
+    poses: np.ndarray,  # [T, 4, 4] c2w
+    size: int = 512,
+    bound: float = 1.0,
+    axis_len: float = 0.25,
+    highlight: Optional[int] = None,
+) -> np.ndarray:
+    """Top-down (x/z plane) plot of the camera trajectory around the head
+    volume: world AABB square, per-frame camera positions, forward (+z)
+    axes, and an optional highlighted frame.
+
+    The camera-frusta panel of the reference's fit debug video
+    (fit_3dmm_landmark.py:397-451 / utils/visualization camera plotting),
+    reduced to the informative projection for a talking head (the camera
+    orbits in x/z; y varies little). Returns an RGB uint8 [size, size, 3].
+    """
+    import cv2
+
+    poses = np.asarray(poses, np.float32).reshape(-1, 4, 4)
+    img = np.full((size, size, 3), 24, np.uint8)
+    # world window: AABB plus the camera extent, with margin
+    cam_xyz = poses[:, :3, 3]
+    lo = min(-bound, float(cam_xyz[:, [0, 2]].min())) - 0.3
+    hi = max(bound, float(cam_xyz[:, [0, 2]].max())) + 0.3
+
+    def to_px(x, z):
+        u = (x - lo) / (hi - lo) * (size - 1)
+        v = (z - lo) / (hi - lo) * (size - 1)
+        return int(round(u)), int(round(size - 1 - v))
+
+    # head AABB square (x/z footprint)
+    p00, p11 = to_px(-bound, -bound), to_px(bound, bound)
+    cv2.rectangle(img, p00, p11, (90, 90, 200), 1)
+    cv2.putText(img, "head AABB", (min(p00[0], p11[0]) + 4, max(p00[1], p11[1]) - 6),
+                cv2.FONT_HERSHEY_SIMPLEX, 0.35, (90, 90, 200), 1)
+
+    for i, pose in enumerate(poses):
+        o = pose[:3, 3]
+        fwd = pose[:3, :3] @ np.asarray([0.0, 0.0, 1.0], np.float32)
+        a = to_px(o[0], o[2])
+        b = to_px(o[0] + axis_len * fwd[0], o[2] + axis_len * fwd[2])
+        is_hl = highlight is not None and i == highlight
+        col = (64, 255, 64) if is_hl else (200, 200, 80)
+        cv2.line(img, a, b, col, 2 if is_hl else 1)
+        cv2.circle(img, a, 3 if is_hl else 1, col, -1)
+    cv2.putText(img, f"{len(poses)} poses (top-down x/z)", (8, 16),
+                cv2.FONT_HERSHEY_SIMPLEX, 0.4, (220, 220, 220), 1)
+    return img

@@ -170,10 +170,31 @@ class GeneFaceInfer:
             head_model_dir or torso_model_dir, torso_model_dir
         )
 
+        # head-crop auto-sizing: union of the occupied-AABB screen projection
+        # over the dataset poses, padded + rounded; the head field then runs
+        # on a fixed crop with per-frame dynamic offset (full_renderer.py:
+        # head_crop_offset) — the static-shape analogue of the reference's
+        # alive-ray early-out for rays that never touch the head
+        self.head_crop = self._auto_head_crop()
+
         # jitted frame/chunk functions, cached per (opts, H, W[, chunk]) —
         # rebuilding the closure per call would recompile the full frame
         # program for every streamed chunk
         self._fn_cache: Dict[tuple, Any] = {}
+
+    # ------------------------------------------------------------------
+    def _auto_head_crop(self):
+        """Crop (ch, cw) covering the occupied AABB's projection across every
+        dataset pose, or None when cropping would not pay / statistics are
+        unavailable (models/full_renderer.py:auto_head_crop)."""
+        ds = self.dataset
+        if ds is None or self.occupancy is None:
+            return None
+        from genefaceplusplus_tpu.models.full_renderer import auto_head_crop
+
+        poses = np.stack([ds.frame_pose(i) for i in range(len(ds))])
+        return auto_head_crop(self.occupancy, poses, ds.intrinsics,
+                              ds.H, ds.W, bound=self.head_cfg.bound)
 
     # ------------------------------------------------------------------
     def _init_a2m(self):
@@ -414,8 +435,9 @@ class GeneFaceInfer:
         return batch
 
     # ------------------------------------------------------------------
-    def _build_frame_fn(self, opts: RenderOptions, H: int, W: int):
-        key = ("frame", opts, H, W)
+    def _build_frame_fn(self, opts: RenderOptions, H: int, W: int,
+                        head_crop=None):
+        key = ("frame", opts, H, W, head_crop)
         if key in self._fn_cache:
             return self._fn_cache[key]
         head_model, torso_model, sr_model = self.head_model, self.torso_model, self.sr_model
@@ -429,6 +451,7 @@ class GeneFaceInfer:
                 torso_model=torso_model, torso_params=torso_params,
                 bg_coords=bg_coords, lm68=lm68,
                 sr_model=sr_model, sr_params=sr_params,
+                head_crop=head_crop,
             )
             img = out.sr_rgb_map if out.sr_rgb_map is not None else out.rgb_map.reshape(H, W, 3)
             return img
@@ -437,11 +460,12 @@ class GeneFaceInfer:
         self._fn_cache[key] = fn
         return fn
 
-    def _build_chunk_fn(self, opts: RenderOptions, H: int, W: int, chunk: int):
+    def _build_chunk_fn(self, opts: RenderOptions, H: int, W: int, chunk: int,
+                        head_crop=None):
         """Render `chunk` frames in ONE device dispatch (lax.scan): host
         dispatch latency would otherwise dominate the production frame loop
         (docs/DESIGN.md: ~26 ms/dispatch through the TPU tunnel)."""
-        key = ("chunk", opts, H, W, chunk)
+        key = ("chunk", opts, H, W, chunk, head_crop)
         if key in self._fn_cache:
             return self._fn_cache[key]
         head_model, torso_model, sr_model = self.head_model, self.torso_model, self.sr_model
@@ -459,6 +483,7 @@ class GeneFaceInfer:
                     torso_model=torso_model, torso_params=torso_params,
                     bg_coords=bg_coords, lm68=lm, occupancy_2d=torso_occ2d,
                     sr_model=sr_model, sr_params=sr_params,
+                    head_crop=head_crop,
                 )
                 img = out.sr_rgb_map if out.sr_rgb_map is not None else out.rgb_map.reshape(H, W, 3)
                 return 0, img
@@ -486,7 +511,14 @@ class GeneFaceInfer:
         )
         chunk = int(inp.get("frames_per_dispatch", 8))
         chunk = max(1, min(chunk, T))
-        chunk_fn = self._build_chunk_fn(opts, H, W, chunk)
+        head_crop = inp.get("head_crop", "auto")
+        if head_crop == "auto":
+            head_crop = self.head_crop
+        elif head_crop in ("off", "none", None):
+            head_crop = None
+        else:
+            head_crop = tuple(head_crop)
+        chunk_fn = self._build_chunk_fn(opts, H, W, chunk, head_crop=head_crop)
         bg_coords = get_bg_coords(H, W)[0]
         bg_color = jnp.asarray(ds.bg_img.reshape(-1, 3))
         conds = jnp.asarray(batch["cond"])  # [T, 1, 204]

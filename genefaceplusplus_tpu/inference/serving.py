@@ -157,7 +157,14 @@ def _dispatch_render(infer, batch, inp):
     )
     T = batch["T"]
     chunk = max(1, min(int(inp.get("frames_per_dispatch", 8)), T))
-    chunk_fn = infer._build_chunk_fn(opts, H, W, chunk)
+    head_crop = inp.get("head_crop", "auto")
+    if head_crop == "auto":
+        head_crop = infer.head_crop
+    elif head_crop in ("off", "none", None):
+        head_crop = None
+    else:
+        head_crop = tuple(head_crop)
+    chunk_fn = infer._build_chunk_fn(opts, H, W, chunk, head_crop=head_crop)
     bg_coords = get_bg_coords(H, W)[0]
     bg_color = jnp.asarray(ds.bg_img.reshape(-1, 3))
     conds = jnp.asarray(batch["cond"])

@@ -25,6 +25,103 @@ from genefaceplusplus_tpu.models.renderer import RenderOptions, render_rays
 from genefaceplusplus_tpu.models.superresolution import Superresolution
 
 
+def head_crop_offset(
+    rays_o: jnp.ndarray,  # [H*W, 3] image-ordered
+    rays_d: jnp.ndarray,  # [H*W, 3]
+    occ_aabb: jnp.ndarray,  # [6] occupied-region AABB (ops/raymarch.occupancy_aabb)
+    image_hw: tuple,
+    crop_hw: tuple,
+    min_near: float = 0.05,
+):
+    """Dynamic top-left (row, col) of a crop_hw window covering every ray
+    that intersects the occupied AABB; clamped inside the image.
+
+    The TPU-static equivalent of the reference's alive-ray early-out for
+    rays that never touch the head (renderer.py:340-384 kills them on the
+    first march): the head field is only evaluated on a fixed-size crop
+    whose OFFSET tracks the head's screen projection per frame; everything
+    outside contributes exactly zero (no occupied cell intersects those
+    rays), so pasting the crop into a zero canvas is lossless as long as the
+    crop covers the hit set. Also returns `fits` (hit extent <= crop) for
+    telemetry.
+    """
+    from genefaceplusplus_tpu.ops.raymarch import near_far_from_aabb
+
+    H, W = image_hw
+    ch, cw = crop_hw
+    n2, f2 = near_far_from_aabb(rays_o, rays_d, occ_aabb, min_near)
+    hit = (f2 > n2).reshape(H, W)
+    rows = hit.any(axis=1)
+    cols = hit.any(axis=0)
+    ridx = jnp.arange(H, dtype=jnp.int32)
+    cidx = jnp.arange(W, dtype=jnp.int32)
+    big = jnp.int32(10 ** 6)
+    r_min = jnp.min(jnp.where(rows, ridx, big))
+    r_max = jnp.max(jnp.where(rows, ridx, -1))
+    c_min = jnp.min(jnp.where(cols, cidx, big))
+    c_max = jnp.max(jnp.where(cols, cidx, -1))
+    any_hit = rows.any()
+    # centre the crop on the hit rect; clamp into the image
+    r0 = jnp.clip((r_min + r_max + 1 - ch) // 2, 0, H - ch)
+    c0 = jnp.clip((c_min + c_max + 1 - cw) // 2, 0, W - cw)
+    r0 = jnp.where(any_hit, r0, 0)
+    c0 = jnp.where(any_hit, c0, 0)
+    fits = jnp.logical_and(r_max - r_min < ch, c_max - c_min < cw)
+    return r0, c0, fits
+
+
+def auto_head_crop(
+    occupancy,
+    poses,  # [N, 4, 4] c2w numpy
+    intrinsics,  # (fx, fy, cx, cy)
+    H: int,
+    W: int,
+    bound: float = 1.0,
+    pad_px: int = 12,
+    multiple: int = 32,
+    max_area_frac: float = 0.85,
+):
+    """Crop (ch, cw) covering the occupied AABB's screen projection across
+    every pose, padded and rounded up; None when cropping would not pay
+    (>= max_area_frac of the frame) or the geometry is degenerate.
+
+    Host-side (numpy) — run once at load time; the per-frame OFFSET is
+    computed in-graph by head_crop_offset.
+    """
+    import numpy as onp
+
+    occ = onp.asarray(occupancy)
+    if not occ.any():
+        return None
+    from genefaceplusplus_tpu.ops.raymarch import occupancy_aabb
+
+    box = onp.asarray(occupancy_aabb(jnp.asarray(occ), bound))
+    corners = onp.stack(
+        onp.meshgrid(box[[0, 3]], box[[1, 4]], box[[2, 5]], indexing="ij"),
+        axis=-1,
+    ).reshape(8, 3)
+    fx, fy, cx, cy = intrinsics
+    poses = onp.asarray(poses).reshape(-1, 4, 4)
+    r_lo, r_hi, c_lo, c_hi = H, 0.0, W, 0.0
+    for pose in poses:
+        R, t = pose[:3, :3], pose[:3, 3]
+        cam = (corners - t) @ R  # R^T @ (X - t) per corner
+        z = cam[:, 2]
+        if onp.any(z <= 1e-3):
+            return None  # box reaches behind the camera: keep full frame
+        col = cx + fx * cam[:, 0] / z
+        row = cy + fy * cam[:, 1] / z
+        r_lo, r_hi = min(r_lo, row.min()), max(r_hi, row.max())
+        c_lo, c_hi = min(c_lo, col.min()), max(c_hi, col.max())
+    ch = int(onp.clip(r_hi - r_lo, 0, H) + 2 * pad_px)
+    cw = int(onp.clip(c_hi - c_lo, 0, W) + 2 * pad_px)
+    ch = min(H, int(onp.ceil(ch / multiple)) * multiple)
+    cw = min(W, int(onp.ceil(cw / multiple)) * multiple)
+    if ch * cw >= max_area_frac * H * W:
+        return None
+    return (ch, cw)
+
+
 class FrameOutput(NamedTuple):
     rgb_map: jnp.ndarray  # [H*W, 3] raw-resolution composited image
     sr_rgb_map: Optional[jnp.ndarray]  # [H2, W2, 3] super-resolved (or None)
@@ -56,6 +153,7 @@ def render_full_frame(
     sr_model: Optional[Superresolution] = None,
     sr_params=None,
     stop_head_gradient: bool = False,
+    head_crop: Optional[tuple] = None,  # (ch, cw): evaluate head on a crop
 ) -> FrameOutput:
     cfg = head_model.cfg
 
@@ -65,14 +163,48 @@ def render_full_frame(
     def field_fn(xyz, dirs):
         return head_model.apply(head_params, xyz, dirs, cond_feat, ind_code, method=RADNeRF.field)
 
-    # torso treats plain bg as its backdrop; head blends over torso_bg later
-    head_out = render_rays(
-        field_fn, rays_o, rays_d, occupancy,
-        bound=cfg.bound, min_near=cfg.min_near,
-        bg_color=0.0,  # defer background blending to the torso composite
-        opts=opts,
-        image_hw=image_hw,
-    )
+    H, W = image_hw
+    if head_crop is not None and tuple(head_crop) != (H, W):
+        # fixed-size crop, dynamic offset: head rays outside the occupied
+        # AABB's screen projection contribute exactly zero, so render the
+        # head on crop_hw rays and paste into a zero canvas (lossless while
+        # the crop covers the hit set — head_crop_offset docstring)
+        from genefaceplusplus_tpu.ops.raymarch import occupancy_aabb
+
+        ch, cw = head_crop
+        occ_box = occupancy_aabb(occupancy, cfg.bound)
+        r0, c0, _ = head_crop_offset(rays_o, rays_d, occ_box, image_hw, head_crop, cfg.min_near)
+        ro_c = jax.lax.dynamic_slice(rays_o.reshape(H, W, 3), (r0, c0, 0), (ch, cw, 3)).reshape(-1, 3)
+        rd_c = jax.lax.dynamic_slice(rays_d.reshape(H, W, 3), (r0, c0, 0), (ch, cw, 3)).reshape(-1, 3)
+        crop_out = render_rays(
+            field_fn, ro_c, rd_c, occupancy,
+            bound=cfg.bound, min_near=cfg.min_near,
+            bg_color=0.0, opts=opts, image_hw=(ch, cw),
+        )
+        head_image = jax.lax.dynamic_update_slice(
+            jnp.zeros((H, W, 3), crop_out.head_image.dtype),
+            crop_out.head_image.reshape(ch, cw, 3), (r0, c0, 0),
+        ).reshape(H * W, 3)
+        weights_sum = jax.lax.dynamic_update_slice(
+            jnp.zeros((H, W), crop_out.weights_sum.dtype),
+            crop_out.weights_sum.reshape(ch, cw), (r0, c0),
+        ).reshape(H * W)
+        depth_map = jax.lax.dynamic_update_slice(
+            jnp.zeros((H, W), crop_out.depth_map.dtype),
+            crop_out.depth_map.reshape(ch, cw), (r0, c0),
+        ).reshape(H * W)
+        head_out = crop_out._replace(
+            head_image=head_image, weights_sum=weights_sum, depth_map=depth_map
+        )
+    else:
+        # torso treats plain bg as its backdrop; head blends over torso_bg later
+        head_out = render_rays(
+            field_fn, rays_o, rays_d, occupancy,
+            bound=cfg.bound, min_near=cfg.min_near,
+            bg_color=0.0,  # defer background blending to the torso composite
+            opts=opts,
+            image_hw=image_hw,
+        )
     head_image = head_out.head_image
     weights_sum = head_out.weights_sum
     if stop_head_gradient:

@@ -117,3 +117,50 @@ def test_full_frame_head_only_matches_bg_when_empty():
         image_hw=(H, W),
     )
     np.testing.assert_allclose(np.asarray(out.rgb_map), 0.75, atol=1e-6)
+
+
+def test_head_crop_matches_full_render():
+    """Fixed-size head crop with dynamic offset is LOSSLESS vs the full-frame
+    render whenever the crop covers the occupied AABB's screen projection
+    (head rays outside it have zero samples in both paths)."""
+    H = W = 32
+    head_cfg = RADNeRFConfig(
+        grid_size=16, individual_embedding_num=4, smo_win_size=3,
+        fourier_pos_features=8, fourier_amb_features=8,
+        hidden_dim_sigma=16, hidden_dim_ambient=16, hidden_dim_color=16, geo_feat_dim=8,
+    )
+    head = RADNeRF(head_cfg)
+    key = jax.random.PRNGKey(0)
+    cond = jax.random.normal(key, (3, 1, 204))
+    head_params = head.init(key, jnp.zeros((8, 3)), jnp.ones((8, 3)), cond)
+
+    # small off-centre blob so the crop is a strict subwindow
+    g = head_cfg.grid_size
+    xx, yy, zz = np.meshgrid(*([np.linspace(-1, 1, g)] * 3), indexing="ij")
+    occ = jnp.asarray(((xx - 0.2) ** 2 + (yy + 0.1) ** 2 + zz ** 2) < 0.12)
+
+    pose = np.eye(4, dtype=np.float32)
+    pose[2, 3] = -2.5
+    rays = get_rays(jnp.asarray(pose[None]), (2.0 * W, 2.0 * H, W / 2, H / 2), H, W)
+    ro, rd = rays["rays_o"][0], rays["rays_d"][0]
+    opts = RenderOptions(num_samples=8)
+
+    full = render_full_frame(
+        head, head_params, ro, rd, cond, occ, bg_color=0.75,
+        opts=opts, image_hw=(H, W),
+    )
+    crop = render_full_frame(
+        head, head_params, ro, rd, cond, occ, bg_color=0.75,
+        opts=opts, image_hw=(H, W), head_crop=(24, 24),
+    )
+    np.testing.assert_allclose(
+        np.asarray(crop.rgb_map), np.asarray(full.rgb_map), atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(crop.weights_sum), np.asarray(full.weights_sum), atol=1e-5)
+
+    # the crop actually covers the hit set for this scene
+    from genefaceplusplus_tpu.models.full_renderer import head_crop_offset
+    from genefaceplusplus_tpu.ops.raymarch import occupancy_aabb
+
+    _, _, fits = head_crop_offset(ro, rd, occupancy_aabb(occ, 1.0), (H, W), (24, 24))
+    assert bool(fits)

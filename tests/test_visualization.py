@@ -82,3 +82,27 @@ def test_debug_fit_video_end_to_end(tmp_path):
         Face3DHelper.load = orig
     assert os.path.exists(out)
     assert os.path.getsize(out) > 0
+
+
+def test_draw_camera_trajectory():
+    """Top-down camera plot: deterministic shape, draws all poses, highlight
+    distinguishable (fit_3dmm_landmark.py:397-451 camera panel equivalent)."""
+    import numpy as np
+
+    from genefaceplusplus_tpu.data.visualization import draw_camera_trajectory
+
+    T = 12
+    poses = np.tile(np.eye(4, dtype=np.float32), (T, 1, 1))
+    ang = np.linspace(-0.4, 0.4, T)
+    for i, a in enumerate(ang):
+        R = np.asarray([[np.cos(a), 0, np.sin(a)], [0, 1, 0],
+                        [-np.sin(a), 0, np.cos(a)]], np.float32)
+        poses[i, :3, :3] = R
+        poses[i, :3, 3] = -2.5 * R @ np.asarray([0, 0, 1], np.float32)
+
+    img = draw_camera_trajectory(poses, size=256, highlight=3)
+    assert img.shape == (256, 256, 3) and img.dtype == np.uint8
+    # background is dark grey; drawing happened
+    assert (img != 24).any()
+    img2 = draw_camera_trajectory(poses, size=256, highlight=7)
+    assert (img != img2).any()  # highlight moves
