@@ -83,7 +83,15 @@ def bench_full(n_frames: int = 50):
     )
     sr = Superresolution(channels=3, input_resolution=H)
     sr_params = sr.init(jax.random.PRNGKey(3), jnp.zeros((1, H, W, 3)))
-    occ2d = jnp.ones((cfg.grid_size, cfg.grid_size)) * 0.5
+    g = cfg.grid_size
+    if os.environ.get("BENCH_SCENE", "head") == "fullframe":
+        occ2d = jnp.ones((g, g)) * 0.5  # torso everywhere (no crop possible)
+        torso_crop = None
+    else:
+        # torso footprint: lower ~55% rows, centre ~70% cols (May framing)
+        occ2d = jnp.zeros((g, g)).at[int(0.45 * g):, int(0.15 * g):int(0.85 * g)].set(0.5)
+        from genefaceplusplus_tpu.models.full_renderer import auto_torso_crop
+        torso_crop = auto_torso_crop(occ2d, H, W)
     bg_color = jnp.ones((H * W, 3))
     # production inference path (inference/pipeline.py): coarse-probe entry
     # + 10-sample budget, bit-identical to 16-sample AABB-entry renders on
@@ -106,6 +114,7 @@ def bench_full(n_frames: int = 50):
                 torso_model=torso, torso_params=torso_params,
                 bg_coords=bg_coords, lm68=lm68, occupancy_2d=occ2d,
                 sr_model=sr, sr_params=sr_params, head_crop=head_crop,
+                torso_crop=torso_crop,
             )
             return out.sr_rgb_map.sum(), ()
 

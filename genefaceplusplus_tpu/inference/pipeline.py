@@ -176,6 +176,14 @@ class GeneFaceInfer:
         # head_crop_offset) — the static-shape analogue of the reference's
         # alive-ray early-out for rays that never touch the head
         self.head_crop = self._auto_head_crop()
+        # torso footprint is static in screen space: one rect at load time
+        # (models/full_renderer.py:auto_torso_crop)
+        self.torso_crop = None
+        if self.torso_occupancy_2d is not None and self.dataset is not None:
+            from genefaceplusplus_tpu.models.full_renderer import auto_torso_crop
+
+            self.torso_crop = auto_torso_crop(
+                self.torso_occupancy_2d, self.dataset.H, self.dataset.W)
 
         # jitted frame/chunk functions, cached per (opts, H, W[, chunk]) —
         # rebuilding the closure per call would recompile the full frame
@@ -461,11 +469,11 @@ class GeneFaceInfer:
         return fn
 
     def _build_chunk_fn(self, opts: RenderOptions, H: int, W: int, chunk: int,
-                        head_crop=None):
+                        head_crop=None, torso_crop=None):
         """Render `chunk` frames in ONE device dispatch (lax.scan): host
         dispatch latency would otherwise dominate the production frame loop
         (docs/DESIGN.md: ~26 ms/dispatch through the TPU tunnel)."""
-        key = ("chunk", opts, H, W, chunk, head_crop)
+        key = ("chunk", opts, H, W, chunk, head_crop, torso_crop)
         if key in self._fn_cache:
             return self._fn_cache[key]
         head_model, torso_model, sr_model = self.head_model, self.torso_model, self.sr_model
@@ -483,7 +491,7 @@ class GeneFaceInfer:
                     torso_model=torso_model, torso_params=torso_params,
                     bg_coords=bg_coords, lm68=lm, occupancy_2d=torso_occ2d,
                     sr_model=sr_model, sr_params=sr_params,
-                    head_crop=head_crop,
+                    head_crop=head_crop, torso_crop=torso_crop,
                 )
                 img = out.sr_rgb_map if out.sr_rgb_map is not None else out.rgb_map.reshape(H, W, 3)
                 return 0, img
@@ -518,7 +526,15 @@ class GeneFaceInfer:
             head_crop = None
         else:
             head_crop = tuple(head_crop)
-        chunk_fn = self._build_chunk_fn(opts, H, W, chunk, head_crop=head_crop)
+        torso_crop = inp.get("torso_crop", "auto")
+        if torso_crop == "auto":
+            torso_crop = self.torso_crop
+        elif torso_crop in ("off", "none", None):
+            torso_crop = None
+        else:
+            torso_crop = tuple(torso_crop)
+        chunk_fn = self._build_chunk_fn(opts, H, W, chunk, head_crop=head_crop,
+                                        torso_crop=torso_crop)
         bg_coords = get_bg_coords(H, W)[0]
         bg_color = jnp.asarray(ds.bg_img.reshape(-1, 3))
         conds = jnp.asarray(batch["cond"])  # [T, 1, 204]

@@ -164,7 +164,15 @@ def _dispatch_render(infer, batch, inp):
         head_crop = None
     else:
         head_crop = tuple(head_crop)
-    chunk_fn = infer._build_chunk_fn(opts, H, W, chunk, head_crop=head_crop)
+    torso_crop = inp.get("torso_crop", "auto")
+    if torso_crop == "auto":
+        torso_crop = infer.torso_crop
+    elif torso_crop in ("off", "none", None):
+        torso_crop = None
+    else:
+        torso_crop = tuple(torso_crop)
+    chunk_fn = infer._build_chunk_fn(opts, H, W, chunk, head_crop=head_crop,
+                                     torso_crop=torso_crop)
     bg_coords = get_bg_coords(H, W)[0]
     bg_color = jnp.asarray(ds.bg_img.reshape(-1, 3))
     conds = jnp.asarray(batch["cond"])

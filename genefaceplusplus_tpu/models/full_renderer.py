@@ -122,6 +122,43 @@ def auto_head_crop(
     return (ch, cw)
 
 
+def auto_torso_crop(
+    occupancy_2d,
+    H: int,
+    W: int,
+    thr: float = 0.01,
+    pad_px: int = 8,
+    multiple: int = 16,
+    max_area_frac: float = 0.9,
+):
+    """Static (r0, c0, ch, cw) screen rect containing every pixel whose
+    2D torso-occupancy sample can exceed `thr` (one grid cell of bilinear
+    margin), or None when cropping would not pay. Host-side, once at load:
+    the torso's culling grid is pose-independent at inference, so unlike the
+    head crop the rect needs no per-frame offset."""
+    import numpy as onp
+
+    g2 = onp.asarray(occupancy_2d)
+    occ = g2 > thr
+    if not occ.any():
+        return None
+    G = g2.shape[0]
+    rows = onp.where(occ.any(axis=1))[0]
+    cols = onp.where(occ.any(axis=0))[0]
+    # one grid cell of bilinear margin on each side (sample_occupancy_2d)
+    r_lo = max(0, rows.min() - 1) / max(G - 1, 1) * (H - 1)
+    r_hi = min(G - 1, rows.max() + 1) / max(G - 1, 1) * (H - 1)
+    c_lo = max(0, cols.min() - 1) / max(G - 1, 1) * (W - 1)
+    c_hi = min(G - 1, cols.max() + 1) / max(G - 1, 1) * (W - 1)
+    r0 = max(0, int(r_lo) - pad_px)
+    c0 = max(0, int(c_lo) - pad_px)
+    ch = min(H - r0, int(onp.ceil((r_hi - r0 + pad_px) / multiple)) * multiple)
+    cw = min(W - c0, int(onp.ceil((c_hi - c0 + pad_px) / multiple)) * multiple)
+    if ch * cw >= max_area_frac * H * W:
+        return None
+    return (r0, c0, ch, cw)
+
+
 class FrameOutput(NamedTuple):
     rgb_map: jnp.ndarray  # [H*W, 3] raw-resolution composited image
     sr_rgb_map: Optional[jnp.ndarray]  # [H2, W2, 3] super-resolved (or None)
@@ -154,6 +191,7 @@ def render_full_frame(
     sr_params=None,
     stop_head_gradient: bool = False,
     head_crop: Optional[tuple] = None,  # (ch, cw): evaluate head on a crop
+    torso_crop: Optional[tuple] = None,  # (r0, c0, ch, cw) static torso rect
 ) -> FrameOutput:
     cfg = head_model.cfg
 
@@ -215,21 +253,49 @@ def render_full_frame(
     if torso_model is not None:
         assert bg_coords is not None
         t_ind = torso_model.apply(torso_params, index, method=TorsoField.get_individual_code)
-        t_out = torso_model.apply(
-            torso_params,
-            bg_coords,
-            lm68,
-            t_ind,
-            head_image if torso_model.cfg.torso_head_aware else None,
-            weights_sum[:, None] if torso_model.cfg.torso_head_aware else None,
-        )
-        alpha = t_out.alpha
-        if occupancy_2d is not None:
-            # 2D occupancy culling (radnerf_torso_sr.py:196-199) as a mask
-            thr = min(density_thresh_torso, mean_density_torso) if mean_density_torso > 0 else density_thresh_torso
-            occ = sample_occupancy_2d(occupancy_2d, bg_coords)
-            alpha = alpha * (occ > thr)[:, None]
-        image, torso_bg = composite_head_torso(head_image, weights_sum, alpha, t_out.color, bg_color)
+        # crop is only lossless when the occupancy mask (which defines the
+        # rect and zeroes alpha outside it) is active
+        if torso_crop is not None and occupancy_2d is not None and tuple(torso_crop[2:]) != (H, W):
+            # the torso's screen footprint is STATIC across frames (the 2D
+            # occupancy grid that culls it is pose-independent at inference,
+            # radnerf_torso_sr.py:196-199), so the field only needs to run
+            # on a compile-time sub-rect; alpha is exactly zero outside it
+            # by the same occupancy mask that defines the rect.
+            tr0, tc0, tch, tcw = torso_crop
+            sel = lambda a, c: a.reshape(H, W, c)[tr0:tr0 + tch, tc0:tc0 + tcw].reshape(-1, c)
+            t_out = torso_model.apply(
+                torso_params,
+                sel(bg_coords, 2),
+                lm68,
+                t_ind,
+                sel(head_image, 3) if torso_model.cfg.torso_head_aware else None,
+                sel(weights_sum[:, None], 1) if torso_model.cfg.torso_head_aware else None,
+            )
+            alpha_c, color_c = t_out.alpha, t_out.color
+            if occupancy_2d is not None:
+                thr = min(density_thresh_torso, mean_density_torso) if mean_density_torso > 0 else density_thresh_torso
+                occ = sample_occupancy_2d(occupancy_2d, sel(bg_coords, 2))
+                alpha_c = alpha_c * (occ > thr)[:, None]
+            paste = lambda a, c: jnp.zeros((H, W, c), a.dtype).at[
+                tr0:tr0 + tch, tc0:tc0 + tcw].set(a.reshape(tch, tcw, c)).reshape(-1, c)
+            alpha = paste(alpha_c, 1)
+            color = paste(color_c, 3)
+        else:
+            t_out = torso_model.apply(
+                torso_params,
+                bg_coords,
+                lm68,
+                t_ind,
+                head_image if torso_model.cfg.torso_head_aware else None,
+                weights_sum[:, None] if torso_model.cfg.torso_head_aware else None,
+            )
+            alpha, color = t_out.alpha, t_out.color
+            if occupancy_2d is not None:
+                # 2D occupancy culling (radnerf_torso_sr.py:196-199) as a mask
+                thr = min(density_thresh_torso, mean_density_torso) if mean_density_torso > 0 else density_thresh_torso
+                occ = sample_occupancy_2d(occupancy_2d, bg_coords)
+                alpha = alpha * (occ > thr)[:, None]
+        image, torso_bg = composite_head_torso(head_image, weights_sum, alpha, color, bg_color)
         torso_alpha, torso_rgb = alpha, torso_bg
     else:
         image = jnp.clip(head_image + (1.0 - weights_sum)[..., None] * bg_color, 0.0, 1.0)

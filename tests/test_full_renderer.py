@@ -164,3 +164,49 @@ def test_head_crop_matches_full_render():
 
     _, _, fits = head_crop_offset(ro, rd, occupancy_aabb(occ, 1.0), (H, W), (24, 24))
     assert bool(fits)
+
+
+def test_torso_crop_matches_full_render():
+    """Static torso rect from the 2D occupancy footprint is lossless: the
+    same occupancy mask that defines the rect zeroes alpha outside it."""
+    from genefaceplusplus_tpu.models.full_renderer import auto_torso_crop
+
+    H = W = 32
+    head_cfg = RADNeRFConfig(
+        grid_size=16, individual_embedding_num=4, smo_win_size=3,
+        fourier_pos_features=8, fourier_amb_features=8,
+        hidden_dim_sigma=16, hidden_dim_ambient=16, hidden_dim_color=16, geo_feat_dim=8,
+    )
+    head = RADNeRF(head_cfg)
+    key = jax.random.PRNGKey(0)
+    cond = jax.random.normal(key, (3, 1, 204))
+    head_params = head.init(key, jnp.zeros((8, 3)), jnp.ones((8, 3)), cond)
+    occ = jnp.zeros((16, 16, 16), bool).at[6:10, 6:10, 6:10].set(True)
+
+    torso = TorsoField(TorsoConfig(torso_individual_embedding_num=4, grid_size=16))
+    bg_coords = get_bg_coords(H, W)[0]
+    lm68 = jax.random.uniform(jax.random.PRNGKey(1), (1, 68, 2))
+    torso_params = torso.init(jax.random.PRNGKey(2), bg_coords[:8], lm68,
+                              jnp.zeros(8), jnp.zeros((8, 3)), jnp.zeros((8, 1)))
+    # torso footprint: lower-centre cells only
+    occ2d = jnp.zeros((16, 16)).at[9:15, 4:12].set(1.0)
+
+    pose = np.eye(4, dtype=np.float32)
+    pose[2, 3] = -2.5
+    rays = get_rays(jnp.asarray(pose[None]), (2.0 * W, 2.0 * H, W / 2, H / 2), H, W)
+    ro, rd = rays["rays_o"][0], rays["rays_d"][0]
+    opts = RenderOptions(num_samples=8)
+
+    crop = auto_torso_crop(occ2d, H, W, pad_px=2, multiple=4)
+    assert crop is not None and crop[2] < H
+
+    kw = dict(bg_color=0.6, opts=opts, image_hw=(H, W), torso_model=torso,
+              torso_params=torso_params, bg_coords=bg_coords, lm68=lm68,
+              occupancy_2d=occ2d)
+    full = render_full_frame(head, head_params, ro, rd, cond, occ, **kw)
+    cropped = render_full_frame(head, head_params, ro, rd, cond, occ,
+                                torso_crop=crop, **kw)
+    np.testing.assert_allclose(np.asarray(cropped.rgb_map),
+                               np.asarray(full.rgb_map), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(cropped.torso_alpha),
+                               np.asarray(full.torso_alpha), atol=1e-5)
