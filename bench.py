@@ -81,7 +81,9 @@ def bench_full(n_frames: int = 50):
         jax.random.PRNGKey(2), bg_coords[:8], lm68, jnp.zeros(8),
         jnp.zeros((8, 3)), jnp.zeros((8, 1)),
     )
-    sr = Superresolution(channels=3, input_resolution=H)
+    # production default: bf16 SR blocks (= the reference's fp16 blocks,
+    # radnerf_sr.py:19; pipeline sr_dtype knob)
+    sr = Superresolution(channels=3, input_resolution=H, dtype=jnp.bfloat16)
     sr_params = sr.init(jax.random.PRNGKey(3), jnp.zeros((1, H, W, 3)))
     g = cfg.grid_size
     if os.environ.get("BENCH_SCENE", "head") == "fullframe":
@@ -93,6 +95,20 @@ def bench_full(n_frames: int = 50):
         from genefaceplusplus_tpu.models.full_renderer import auto_torso_crop
         torso_crop = auto_torso_crop(occ2d, H, W)
     bg_color = jnp.ones((H * W, 3))
+    # static-region SR skip (pipeline._auto_sr_crop): SR(bg) is
+    # frame-constant outside union(head bbox, torso rect)
+    sr_crop = sr_bg = None
+    if torso_crop is not None:
+        from genefaceplusplus_tpu.models.full_renderer import (
+            auto_head_bbox, auto_sr_crop)
+        bbox = auto_head_bbox(occ, pose[None], (2.0 * W, 2.0 * H, W / 2, H / 2),
+                              H, W, bound=cfg.bound)
+        sr_crop = auto_sr_crop(bbox, torso_crop, H, W)
+        if sr_crop is not None:
+            # jit the one-time SR(bg): eager dispatch through the axon
+            # tunnel compiles each primitive separately (minutes)
+            sr_bg = jax.jit(lambda p, b: jnp.clip(sr.apply(p, b), 0.0, 1.0))(
+                sr_params, bg_color.reshape(1, H, W, 3))[0]
     # production inference path (inference/pipeline.py): coarse-probe entry
     # + 10-sample budget, bit-identical to 16-sample AABB-entry renders on
     # trained identities (tests/test_entry_probe.py, docs/DESIGN.md)
@@ -114,7 +130,7 @@ def bench_full(n_frames: int = 50):
                 torso_model=torso, torso_params=torso_params,
                 bg_coords=bg_coords, lm68=lm68, occupancy_2d=occ2d,
                 sr_model=sr, sr_params=sr_params, head_crop=head_crop,
-                torso_crop=torso_crop,
+                torso_crop=torso_crop, sr_crop=sr_crop, sr_bg=sr_bg,
             )
             return out.sr_rgb_map.sum(), ()
 
@@ -175,6 +191,14 @@ def bench_head(n_frames: int = 25):
 
 
 def main():
+    # persistent compile cache: the axon tunnel remote-compiles each new
+    # graph (minutes for the full-pipeline scan); a warm cache cuts the
+    # wall time to the actual measurement
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("JAX_CACHE_DIR", "/tmp/jax_bench_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     # failures must be loud: no fallback — if the full pipeline bench breaks
     # the driver must see the traceback, not a mislabeled head-only number
     mode = os.environ.get("BENCH_MODE", "full")

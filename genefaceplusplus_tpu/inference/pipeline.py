@@ -66,6 +66,18 @@ def default_inp(**kw) -> Dict[str, Any]:
     return inp
 
 
+def resolve_crop(inp: Dict[str, Any], key: str, auto_value):
+    """Resolve a crop knob from `inp`: "auto" (default) -> the load-time
+    value, "off"/"none"/None -> disabled, else an explicit rect (tuples are
+    hashable jit-cache keys, so nested lists are converted)."""
+    val = inp.get(key, "auto")
+    if val == "auto":
+        return auto_value
+    if val in ("off", "none", None):
+        return None
+    return tuple(tuple(v) if isinstance(v, (list, tuple)) else v for v in val)
+
+
 class GeneFaceInfer:
     """Loads audio2motion + head [+ torso] checkpoint dirs and runs wav->mp4."""
 
@@ -142,7 +154,12 @@ class GeneFaceInfer:
         self.sr_model = None
         self.sr_params = None
         if self.head_cfg_raw.get("with_sr", False):
-            self.sr_model = Superresolution(channels=3, input_resolution=256)
+            # reference SR blocks run fp16 (radnerf_sr.py:19); bf16 is the
+            # TPU equivalent and the production default (sr_dtype knob)
+            sr_dtype = (jnp.bfloat16 if self.head_cfg_raw.get("sr_dtype", "bfloat16")
+                        == "bfloat16" else jnp.float32)
+            self.sr_model = Superresolution(channels=3, input_resolution=256,
+                                            dtype=sr_dtype)
             self.sr_params = self._load_params(head_model_dir or torso_model_dir, self._init_sr, sub="sr")
 
         # ---- dataset statistics / driving poses ----
@@ -184,6 +201,10 @@ class GeneFaceInfer:
 
             self.torso_crop = auto_torso_crop(
                 self.torso_occupancy_2d, self.dataset.H, self.dataset.W)
+        # outside union(head bbox, torso rect) the raw composite == static
+        # bg, so its SR is frame-constant: precompute SR(bg) once and SR
+        # only the changing rect per frame (full_renderer.py:auto_sr_crop)
+        self.sr_crop, self.sr_bg = self._auto_sr_crop()
 
         # jitted frame/chunk functions, cached per (opts, H, W[, chunk]) —
         # rebuilding the closure per call would recompile the full frame
@@ -203,6 +224,37 @@ class GeneFaceInfer:
         poses = np.stack([ds.frame_pose(i) for i in range(len(ds))])
         return auto_head_crop(self.occupancy, poses, ds.intrinsics,
                               ds.H, ds.W, bound=self.head_cfg.bound)
+
+    def _auto_sr_crop(self):
+        """(sr_crop, sr_bg): static SR rect + precomputed SR(bg) canvas, or
+        (None, None) when SR is absent or the changing region ~fills the
+        frame (full_renderer.py:auto_sr_crop)."""
+        ds = self.dataset
+        if (self.sr_model is None or ds is None or self.occupancy is None
+                or ds.bg_img is None):
+            return None, None
+        from genefaceplusplus_tpu.models.full_renderer import (
+            auto_head_bbox, auto_sr_crop)
+
+        poses = np.stack([ds.frame_pose(i) for i in range(len(ds))])
+        bbox = auto_head_bbox(self.occupancy, poses, ds.intrinsics,
+                              ds.H, ds.W, bound=self.head_cfg.bound)
+        if self.torso_model is None:
+            torso_rect = None
+        elif self.torso_crop is not None:
+            torso_rect = self.torso_crop
+        else:
+            torso_rect = (0, 0, ds.H, ds.W)  # uncropped torso: alpha unbounded
+        sr_crop = auto_sr_crop(bbox, torso_rect, ds.H, ds.W)
+        if sr_crop is None:
+            return None, None
+        bg = jnp.asarray(ds.bg_img, jnp.float32).reshape(1, ds.H, ds.W, 3)
+        # jit the one-time SR(bg): eager dispatch compiles per-primitive
+        # (pathological through the axon TPU tunnel)
+        sr_bg = jax.jit(
+            lambda p, b: jnp.clip(self.sr_model.apply(p, b), 0.0, 1.0)
+        )(self.sr_params, bg)[0]
+        return sr_crop, jax.device_put(sr_bg)
 
     # ------------------------------------------------------------------
     def _init_a2m(self):
@@ -469,15 +521,18 @@ class GeneFaceInfer:
         return fn
 
     def _build_chunk_fn(self, opts: RenderOptions, H: int, W: int, chunk: int,
-                        head_crop=None, torso_crop=None):
+                        head_crop=None, torso_crop=None, sr_crop=None):
         """Render `chunk` frames in ONE device dispatch (lax.scan): host
         dispatch latency would otherwise dominate the production frame loop
         (docs/DESIGN.md: ~26 ms/dispatch through the TPU tunnel)."""
-        key = ("chunk", opts, H, W, chunk, head_crop, torso_crop)
+        key = ("chunk", opts, H, W, chunk, head_crop, torso_crop, sr_crop)
         if key in self._fn_cache:
             return self._fn_cache[key]
         head_model, torso_model, sr_model = self.head_model, self.torso_model, self.sr_model
         torso_occ2d = self.torso_occupancy_2d
+        # frame-constant SR(bg) canvas; genuinely constant, so closure
+        # capture (-> XLA constant) is correct here
+        sr_bg = self.sr_bg if sr_crop is not None else None
 
         def chunk_fn(head_params, torso_params, sr_params, rays_o, rays_d,
                      cond_wins, eye_areas, occupancy, bg_color, bg_coords, lm68s):
@@ -492,6 +547,7 @@ class GeneFaceInfer:
                     bg_coords=bg_coords, lm68=lm, occupancy_2d=torso_occ2d,
                     sr_model=sr_model, sr_params=sr_params,
                     head_crop=head_crop, torso_crop=torso_crop,
+                    sr_crop=sr_crop, sr_bg=sr_bg,
                 )
                 img = out.sr_rgb_map if out.sr_rgb_map is not None else out.rgb_map.reshape(H, W, 3)
                 return 0, img
@@ -519,22 +575,11 @@ class GeneFaceInfer:
         )
         chunk = int(inp.get("frames_per_dispatch", 8))
         chunk = max(1, min(chunk, T))
-        head_crop = inp.get("head_crop", "auto")
-        if head_crop == "auto":
-            head_crop = self.head_crop
-        elif head_crop in ("off", "none", None):
-            head_crop = None
-        else:
-            head_crop = tuple(head_crop)
-        torso_crop = inp.get("torso_crop", "auto")
-        if torso_crop == "auto":
-            torso_crop = self.torso_crop
-        elif torso_crop in ("off", "none", None):
-            torso_crop = None
-        else:
-            torso_crop = tuple(torso_crop)
+        head_crop = resolve_crop(inp, "head_crop", self.head_crop)
+        torso_crop = resolve_crop(inp, "torso_crop", self.torso_crop)
+        sr_crop = resolve_crop(inp, "sr_crop", self.sr_crop)
         chunk_fn = self._build_chunk_fn(opts, H, W, chunk, head_crop=head_crop,
-                                        torso_crop=torso_crop)
+                                        torso_crop=torso_crop, sr_crop=sr_crop)
         bg_coords = get_bg_coords(H, W)[0]
         bg_color = jnp.asarray(ds.bg_img.reshape(-1, 3))
         conds = jnp.asarray(batch["cond"])  # [T, 1, 204]

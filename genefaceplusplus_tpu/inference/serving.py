@@ -157,22 +157,13 @@ def _dispatch_render(infer, batch, inp):
     )
     T = batch["T"]
     chunk = max(1, min(int(inp.get("frames_per_dispatch", 8)), T))
-    head_crop = inp.get("head_crop", "auto")
-    if head_crop == "auto":
-        head_crop = infer.head_crop
-    elif head_crop in ("off", "none", None):
-        head_crop = None
-    else:
-        head_crop = tuple(head_crop)
-    torso_crop = inp.get("torso_crop", "auto")
-    if torso_crop == "auto":
-        torso_crop = infer.torso_crop
-    elif torso_crop in ("off", "none", None):
-        torso_crop = None
-    else:
-        torso_crop = tuple(torso_crop)
+    from genefaceplusplus_tpu.inference.pipeline import resolve_crop
+
+    head_crop = resolve_crop(inp, "head_crop", infer.head_crop)
+    torso_crop = resolve_crop(inp, "torso_crop", infer.torso_crop)
+    sr_crop = resolve_crop(inp, "sr_crop", infer.sr_crop)
     chunk_fn = infer._build_chunk_fn(opts, H, W, chunk, head_crop=head_crop,
-                                     torso_crop=torso_crop)
+                                     torso_crop=torso_crop, sr_crop=sr_crop)
     bg_coords = get_bg_coords(H, W)[0]
     bg_color = jnp.asarray(ds.bg_img.reshape(-1, 3))
     conds = jnp.asarray(batch["cond"])

@@ -70,24 +70,18 @@ def head_crop_offset(
     return r0, c0, fits
 
 
-def auto_head_crop(
+def auto_head_bbox(
     occupancy,
     poses,  # [N, 4, 4] c2w numpy
     intrinsics,  # (fx, fy, cx, cy)
     H: int,
     W: int,
     bound: float = 1.0,
-    pad_px: int = 12,
-    multiple: int = 32,
-    max_area_frac: float = 0.85,
 ):
-    """Crop (ch, cw) covering the occupied AABB's screen projection across
-    every pose, padded and rounded up; None when cropping would not pay
-    (>= max_area_frac of the frame) or the geometry is degenerate.
-
-    Host-side (numpy) — run once at load time; the per-frame OFFSET is
-    computed in-graph by head_crop_offset.
-    """
+    """(r_lo, r_hi, c_lo, c_hi) screen bbox of the occupied AABB's projection
+    across every pose (float, unclamped), or None when degenerate. Every ray
+    that can hit the occupied region lies inside this bbox — the hit set is
+    a subset of the projected AABB corners' hull. Host-side, once at load."""
     import numpy as onp
 
     occ = onp.asarray(occupancy)
@@ -113,6 +107,33 @@ def auto_head_crop(
         row = cy + fy * cam[:, 1] / z
         r_lo, r_hi = min(r_lo, row.min()), max(r_hi, row.max())
         c_lo, c_hi = min(c_lo, col.min()), max(c_hi, col.max())
+    return (r_lo, r_hi, c_lo, c_hi)
+
+
+def auto_head_crop(
+    occupancy,
+    poses,  # [N, 4, 4] c2w numpy
+    intrinsics,  # (fx, fy, cx, cy)
+    H: int,
+    W: int,
+    bound: float = 1.0,
+    pad_px: int = 12,
+    multiple: int = 32,
+    max_area_frac: float = 0.85,
+):
+    """Crop (ch, cw) covering the occupied AABB's screen projection across
+    every pose, padded and rounded up; None when cropping would not pay
+    (>= max_area_frac of the frame) or the geometry is degenerate.
+
+    Host-side (numpy) — run once at load time; the per-frame OFFSET is
+    computed in-graph by head_crop_offset.
+    """
+    import numpy as onp
+
+    bbox = auto_head_bbox(occupancy, poses, intrinsics, H, W, bound)
+    if bbox is None:
+        return None
+    r_lo, r_hi, c_lo, c_hi = bbox
     ch = int(onp.clip(r_hi - r_lo, 0, H) + 2 * pad_px)
     cw = int(onp.clip(c_hi - c_lo, 0, W) + 2 * pad_px)
     ch = min(H, int(onp.ceil(ch / multiple)) * multiple)
@@ -159,6 +180,56 @@ def auto_torso_crop(
     return (r0, c0, ch, cw)
 
 
+def auto_sr_crop(
+    head_bbox,  # (r_lo, r_hi, c_lo, c_hi) from auto_head_bbox, or None
+    torso_rect,  # (r0, c0, ch, cw) torso footprint, None when NO torso term
+    H: int,
+    W: int,
+    pad_px: int = 4,
+    margin: int = 16,
+    multiple: int = 16,
+    max_area_frac: float = 0.9,
+):
+    """((outer), (inner)) rects at raw resolution for cropped SR, or None.
+
+    Outside the union of the head's all-pose screen bbox and the torso
+    footprint the composited raw image equals the static background
+    EXACTLY, so full-frame SR differs from the precomputed SR(bg) only
+    within `margin` (>= the SR receptive field, ~5 px at input res) of that
+    union: per frame, SR only `outer`, paste `inner` (= union + margin)
+    into the SR(bg) canvas. Lossless both ways: outside inner, every SR
+    input within the receptive field equals bg; inside inner, pixels are
+    >= margin from the outer boundary (or outer is flush with the image
+    edge, where conv padding matches the full-frame computation).
+    Host-side, once at load.
+
+    Callers must pass torso_rect=(0,0,H,W) (-> None returned) when a torso
+    renders WITHOUT 2D-occupancy culling — its alpha is then unbounded.
+    """
+    import numpy as onp
+
+    if head_bbox is None:
+        return None
+    r_lo, r_hi, c_lo, c_hi = head_bbox
+    r0 = max(0, int(onp.floor(r_lo)) - pad_px)
+    r1 = min(H, int(onp.ceil(r_hi)) + pad_px)
+    c0 = max(0, int(onp.floor(c_lo)) - pad_px)
+    c1 = min(W, int(onp.ceil(c_hi)) + pad_px)
+    if torso_rect is not None:
+        tr0, tc0, th, tw = torso_rect
+        r0, c0 = min(r0, tr0), min(c0, tc0)
+        r1, c1 = max(r1, tr0 + th), max(c1, tc0 + tw)
+    ir0, ic0 = max(0, r0 - margin), max(0, c0 - margin)
+    ir1, ic1 = min(H, r1 + margin), min(W, c1 + margin)
+    er0, ec0 = max(0, ir0 - margin), max(0, ic0 - margin)
+    er1, ec1 = min(H, ir1 + margin), min(W, ic1 + margin)
+    eh = min(H - er0, int(onp.ceil((er1 - er0) / multiple)) * multiple)
+    ew = min(W - ec0, int(onp.ceil((ec1 - ec0) / multiple)) * multiple)
+    if eh * ew >= max_area_frac * H * W:
+        return None
+    return ((er0, ec0, eh, ew), (ir0, ic0, ir1 - ir0, ic1 - ic0))
+
+
 class FrameOutput(NamedTuple):
     rgb_map: jnp.ndarray  # [H*W, 3] raw-resolution composited image
     sr_rgb_map: Optional[jnp.ndarray]  # [H2, W2, 3] super-resolved (or None)
@@ -192,6 +263,8 @@ def render_full_frame(
     stop_head_gradient: bool = False,
     head_crop: Optional[tuple] = None,  # (ch, cw): evaluate head on a crop
     torso_crop: Optional[tuple] = None,  # (r0, c0, ch, cw) static torso rect
+    sr_crop: Optional[tuple] = None,  # ((outer), (inner)) from auto_sr_crop
+    sr_bg=None,  # [2H, 2W, 3] precomputed SR of the static background
 ) -> FrameOutput:
     cfg = head_model.cfg
 
@@ -304,7 +377,20 @@ def render_full_frame(
     if sr_model is not None:
         H, W = image_hw
         raw = image.reshape(1, H, W, 3)
-        sr_image = jnp.clip(sr_model.apply(sr_params, raw), 0.0, 1.0)[0]
+        if sr_crop is not None and sr_bg is not None:
+            # outside `inner` the raw image == static bg exactly, so its SR
+            # is frame-constant: SR only the outer rect (inner + receptive-
+            # field margin), paste inner into the precomputed SR(bg) canvas
+            # (auto_sr_crop docstring; equality in tests/test_full_renderer)
+            (orr, orc, oh, ow), (ir, ic, ih, iw) = sr_crop
+            raw_c = raw[:, orr:orr + oh, orc:orc + ow]
+            sr_c = sr_model.apply(sr_params, raw_c, noise_offset=(orr, orc))[0]
+            dy, dx = 2 * (ir - orr), 2 * (ic - orc)
+            patch = jnp.clip(sr_c[dy:dy + 2 * ih, dx:dx + 2 * iw], 0.0, 1.0)
+            sr_image = jax.lax.dynamic_update_slice(
+                sr_bg.astype(patch.dtype), patch, (2 * ir, 2 * ic, 0))
+        else:
+            sr_image = jnp.clip(sr_model.apply(sr_params, raw), 0.0, 1.0)[0]
 
     return FrameOutput(
         rgb_map=image,

@@ -17,7 +17,7 @@ through ops/upfirdn2d.py (one depthwise conv per resample).
 from __future__ import annotations
 
 import math
-from typing import Optional
+from typing import Any, Optional
 
 import flax.linen as nn
 import jax
@@ -99,7 +99,7 @@ class SynthesisLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x, w, noise_mode: str = "const", gain: float = 1.0,
-                 rng: Optional[jax.Array] = None):
+                 rng: Optional[jax.Array] = None, noise_offset=(0, 0)):
         in_channels = x.shape[-1]
         styles = FullyConnectedLayer(in_channels, bias_init=1.0, name="affine")(w)
         weight = self.param(
@@ -109,6 +109,12 @@ class SynthesisLayer(nn.Module):
         )
         bias = self.param("bias", nn.initializers.zeros, (self.out_channels,))
 
+        # spatial output extent: equals the input extent (x self.up) — may be
+        # a sub-rect of self.resolution when SR runs on a crop (sr_crop);
+        # noise_offset is the crop's top-left at THIS layer's resolution so
+        # the sliced const noise stays position-identical to the full frame
+        out_h = x.shape[1] * self.up
+        out_w = x.shape[2] * self.up
         noise = None
         if self.use_noise and noise_mode != "none":
             strength = self.param("noise_strength", nn.initializers.zeros, ())
@@ -118,8 +124,10 @@ class SynthesisLayer(nn.Module):
             ).value
             if noise_mode == "random":
                 assert rng is not None, "noise_mode='random' needs an rng"
-                noise = jax.random.normal(rng, (x.shape[0], self.resolution, self.resolution, 1)) * strength
+                noise = jax.random.normal(rng, (x.shape[0], out_h, out_w, 1)) * strength
             else:  # const
+                r0, c0 = noise_offset
+                const = const[r0:r0 + out_h, c0:c0 + out_w]
                 noise = (const * strength)[None, :, :, None]
 
         flip_weight = self.up == 1
@@ -164,21 +172,29 @@ class SynthesisBlock(nn.Module):
     is_last: bool = False
     up: int = 2
     conv_clamp: Optional[float] = 256.0
+    dtype: Any = jnp.float32  # reference runs blocks at fp16 (use_fp16=True,
+    # radnerf_sr.py:19-27); bf16 is the TPU equivalent. Params stay f32;
+    # the img/skip accumulation stays f32 exactly as the reference's.
 
     @nn.compact
-    def __call__(self, x, img, ws, noise_mode: str = "const", rng: Optional[jax.Array] = None):
+    def __call__(self, x, img, ws, noise_mode: str = "const", rng: Optional[jax.Array] = None,
+                 noise_offset=(0, 0)):
+        x = x.astype(self.dtype)
         w_iter = iter([ws[:, i] for i in range(ws.shape[1])])
         rngs = jax.random.split(rng, 2) if rng is not None else (None, None)
+        # noise_offset arrives at the block's INPUT resolution; both layers
+        # emit at self.resolution (= input * up), so scale once
+        off = (noise_offset[0] * self.up, noise_offset[1] * self.up)
         # conv0 exists in both the up-2 block (networks_stylegan2.py:411) and
         # the NoUp block (superresolution.py:193-196); only `up` differs
         x = SynthesisLayer(
             self.out_channels, self.w_dim, self.resolution, up=self.up,
             conv_clamp=self.conv_clamp, name="conv0",
-        )(x, next(w_iter), noise_mode=noise_mode, rng=rngs[0])
+        )(x, next(w_iter), noise_mode=noise_mode, rng=rngs[0], noise_offset=off)
         x = SynthesisLayer(
             self.out_channels, self.w_dim, self.resolution,
             conv_clamp=self.conv_clamp, name="conv1",
-        )(x, next(w_iter), noise_mode=noise_mode, rng=rngs[1])
+        )(x, next(w_iter), noise_mode=noise_mode, rng=rngs[1], noise_offset=off)
 
         if img is not None and self.up > 1:
             img = upsample2d(img, RESAMPLE_FILTER)
@@ -194,19 +210,27 @@ class Superresolution(nn.Module):
     channels: int = 3
     input_resolution: int = 256
     w_dim: int = 16
+    dtype: Any = jnp.float32  # production configs set bfloat16 (sr_dtype);
+    # matches the reference's fp16 blocks (radnerf_sr.py:19). f32 default
+    # keeps unit/parity tests exact.
 
     @nn.compact
     def __call__(self, rgb: jnp.ndarray, noise_mode: str = "const",
-                 rng: Optional[jax.Array] = None) -> jnp.ndarray:
-        # rgb: [B, 256, 256, 3] -> [B, 512, 512, 3]
+                 rng: Optional[jax.Array] = None,
+                 noise_offset=(0, 0)) -> jnp.ndarray:
+        # rgb: [B, 256, 256, 3] -> [B, 512, 512, 3].  When rgb is a sub-rect
+        # of the frame (sr_crop), noise_offset is its top-left at the input
+        # resolution so sliced const noise matches the full-frame values.
         B = rgb.shape[0]
-        ws = jnp.ones((B, 3, self.w_dim), dtype=rgb.dtype)
+        ws = jnp.ones((B, 3, self.w_dim), dtype=jnp.float32)
         x = rgb
         rngs = jax.random.split(rng, 2) if rng is not None else (None, None)
         x, rgb = SynthesisBlock(
-            128, self.w_dim, resolution=self.input_resolution, is_last=False, up=1, name="block0",
-        )(x, rgb, ws, noise_mode=noise_mode, rng=rngs[0])
+            128, self.w_dim, resolution=self.input_resolution, is_last=False, up=1,
+            dtype=self.dtype, name="block0",
+        )(x, rgb, ws, noise_mode=noise_mode, rng=rngs[0], noise_offset=noise_offset)
         x, rgb = SynthesisBlock(
-            64, self.w_dim, resolution=self.input_resolution * 2, is_last=True, up=2, name="block1",
-        )(x, rgb, ws, noise_mode=noise_mode, rng=rngs[1])
+            64, self.w_dim, resolution=self.input_resolution * 2, is_last=True, up=2,
+            dtype=self.dtype, name="block1",
+        )(x, rgb, ws, noise_mode=noise_mode, rng=rngs[1], noise_offset=noise_offset)
         return rgb

@@ -49,6 +49,10 @@ class SRTaskConfig(HeadTaskConfig):
     # like every shipped reference config.
     lambda_dual_fm: float = 0.0
     disc_model_dir: str = ""  # checkpoint dir for the frozen discriminator
+    # SR block compute dtype; the reference trains these blocks at fp16
+    # (radnerf_sr.py:19, conv_clamp=256) — bf16 is the TPU equivalent.
+    # Params stay f32 either way.
+    sr_dtype: str = "bfloat16"
 
 
 class SRHeadNeRFTask(HeadNeRFTask):
@@ -58,7 +62,9 @@ class SRHeadNeRFTask(HeadNeRFTask):
                  task_cfg: SRTaskConfig = SRTaskConfig(), hp: TaskHParams = TaskHParams(),
                  seed: int = 9999):
         super().__init__(dataset, model_cfg, task_cfg, hp, seed)
-        self.sr_model = Superresolution(channels=3, input_resolution=dataset.H)
+        self.sr_model = Superresolution(
+            channels=3, input_resolution=dataset.H,
+            dtype=jnp.bfloat16 if task_cfg.sr_dtype == "bfloat16" else jnp.float32)
         self.perceptual = PerceptualLoss(seed=0)
 
         # frozen dual discriminator for feature matching (optional,

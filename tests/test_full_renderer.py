@@ -210,3 +210,72 @@ def test_torso_crop_matches_full_render():
                                np.asarray(full.rgb_map), atol=1e-5)
     np.testing.assert_allclose(np.asarray(cropped.torso_alpha),
                                np.asarray(full.torso_alpha), atol=1e-5)
+
+
+def test_sr_crop_matches_full_render():
+    """Static-region SR skip is lossless: outside union(head bbox, torso
+    rect) the raw composite equals the static bg, so pasting the per-frame
+    SR of the outer rect into precomputed SR(bg) reproduces full-frame SR
+    (incl. position-correct sliced const noise, noise_strength != 0)."""
+    import flax
+
+    from genefaceplusplus_tpu.models.full_renderer import (
+        auto_head_bbox, auto_sr_crop, auto_torso_crop)
+
+    H = W = 64
+    head_cfg = RADNeRFConfig(
+        grid_size=16, individual_embedding_num=4, smo_win_size=3,
+        fourier_pos_features=8, fourier_amb_features=8,
+        hidden_dim_sigma=16, hidden_dim_ambient=16, hidden_dim_color=16, geo_feat_dim=8,
+    )
+    head = RADNeRF(head_cfg)
+    key = jax.random.PRNGKey(0)
+    cond = jax.random.normal(key, (3, 1, 204))
+    head_params = head.init(key, jnp.zeros((8, 3)), jnp.ones((8, 3)), cond)
+    occ = jnp.zeros((16, 16, 16), bool).at[7:9, 7:9, 7:9].set(True)
+
+    torso = TorsoField(TorsoConfig(torso_individual_embedding_num=4, grid_size=16))
+    bg_coords = get_bg_coords(H, W)[0]
+    lm68 = jax.random.uniform(jax.random.PRNGKey(1), (1, 68, 2))
+    torso_params = torso.init(jax.random.PRNGKey(2), bg_coords[:8], lm68,
+                              jnp.zeros(8), jnp.zeros((8, 3)), jnp.zeros((8, 1)))
+    occ2d = jnp.zeros((16, 16)).at[11:15, 6:10].set(1.0)
+
+    sr = Superresolution(channels=3, input_resolution=W)
+    sr_params = sr.init(jax.random.PRNGKey(3), jnp.zeros((1, H, W, 3)))
+    # non-zero noise strengths so the const-noise slicing is actually tested
+    flat = flax.traverse_util.flatten_dict(sr_params)
+    for k in flat:
+        if k[-1] == "noise_strength":
+            flat[k] = jnp.asarray(0.3)
+    sr_params = flax.traverse_util.unflatten_dict(flat)
+
+    pose = np.eye(4, dtype=np.float32)
+    pose[2, 3] = -2.5
+    intr = (2.0 * W, 2.0 * H, W / 2, H / 2)
+    rays = get_rays(jnp.asarray(pose[None]), intr, H, W)
+    ro, rd = rays["rays_o"][0], rays["rays_d"][0]
+    opts = RenderOptions(num_samples=8)
+
+    torso_crop = auto_torso_crop(occ2d, H, W, pad_px=2, multiple=4)
+    bbox = auto_head_bbox(occ, pose[None], intr, H, W)
+    sr_crop = auto_sr_crop(bbox, torso_crop, H, W, margin=8, multiple=8,
+                           max_area_frac=1.1)
+    assert sr_crop is not None
+    (orr, orc, oh, ow), (ir, ic, ih, iw) = sr_crop
+    assert oh < H or ow < W  # actually crops something
+    # inner inside outer with margin (or flush at image edge)
+    assert orr <= ir and orc <= ic and ir + ih <= orr + oh and ic + iw <= orc + ow
+
+    bg_color = jnp.full((H * W, 3), 0.6)
+    sr_bg = jnp.clip(sr.apply(sr_params, bg_color.reshape(1, H, W, 3)), 0.0, 1.0)[0]
+
+    kw = dict(bg_color=bg_color, opts=opts, image_hw=(H, W), torso_model=torso,
+              torso_params=torso_params, bg_coords=bg_coords, lm68=lm68,
+              occupancy_2d=occ2d, sr_model=sr, sr_params=sr_params)
+    full = render_full_frame(head, head_params, ro, rd, cond, occ, **kw)
+    cropped = render_full_frame(head, head_params, ro, rd, cond, occ,
+                                sr_crop=sr_crop, sr_bg=sr_bg,
+                                torso_crop=torso_crop, **kw)
+    np.testing.assert_allclose(np.asarray(cropped.sr_rgb_map),
+                               np.asarray(full.sr_rgb_map), atol=2e-5)

@@ -141,3 +141,20 @@ def test_subpixel_upconv_matches_generic_path():
         b = conv2d_resample(x, w, f=f, up=up, padding=pad, flip_weight=flip)
         assert a.shape == b.shape, (a.shape, b.shape)
         assert float(jnp.abs(a - b).max()) < 1e-4, (Hn, k, up, pad, flip)
+
+
+def test_superresolution_bf16_matches_f32():
+    """bf16 SR blocks (production default; = the reference's fp16 blocks,
+    radnerf_sr.py:19) share params with the f32 module and agree to high
+    PSNR on image-range inputs."""
+    f32 = Superresolution(channels=3, input_resolution=32)
+    bf16 = Superresolution(channels=3, input_resolution=32, dtype=jnp.bfloat16)
+    rgb = jax.random.uniform(jax.random.PRNGKey(0), (1, 32, 32, 3))
+    variables = f32.init(jax.random.PRNGKey(1), rgb)
+    a = np.asarray(f32.apply(variables, rgb))
+    b = np.asarray(bf16.apply(variables, rgb))  # params interchangeable
+    assert b.dtype == np.float32  # img/skip accumulation stays f32
+    assert np.isfinite(b).all()
+    mse = float(np.mean((a - b) ** 2))
+    psnr = 10 * np.log10(max(np.ptp(a), 1e-9) ** 2 / max(mse, 1e-12))
+    assert psnr > 35.0, f"bf16 SR diverges from f32: PSNR={psnr:.1f} dB"
