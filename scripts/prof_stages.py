@@ -3,11 +3,16 @@
 Measures the bench_full scene with components toggled off to attribute
 ms/frame to head / torso / SR.  Run on the TPU: python scripts/prof_stages.py
 """
+import os
 import time
 
 import numpy as np
 import jax
 import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("JAX_CACHE_DIR", "/tmp/jax_bench_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 from genefaceplusplus_tpu.models.radnerf import RADNeRF, RADNeRFConfig
 from genefaceplusplus_tpu.models.full_renderer import (

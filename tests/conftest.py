@@ -26,3 +26,32 @@ _cache = _os.path.join("/tmp", "jax_test_cache")
 _os.makedirs(_cache, exist_ok=True)
 jax.config.update("jax_compilation_cache_dir", _cache)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+
+# ---- smoke marker -------------------------------------------------------
+# `pytest -m "not slow"` is the quick smoke pass (~1-2 min warm): unit-level
+# op/model/config tests. The full suite (default) adds the integration/e2e
+# tier. Modules listed here are the long-running tier.
+import pytest  # noqa: E402
+
+_SLOW_MODULES = {
+    "test_pipeline_integration",
+    "test_inference_e2e",
+    "test_streaming",
+    "test_serving_parallel",
+    "test_app_stream",
+    "test_fleet",
+    "test_preemption",
+    "test_training",
+    "test_tasks",
+    "test_postnet_task",
+    "test_fused_field_vjp",
+    "test_full_renderer",
+    "test_convert_full_ckpt",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if item.module.__name__ in _SLOW_MODULES:
+            item.add_marker(pytest.mark.slow)
