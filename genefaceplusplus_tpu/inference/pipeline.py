@@ -35,7 +35,10 @@ from genefaceplusplus_tpu.data.landmarks import (
 )
 from genefaceplusplus_tpu.data.video import StreamingVideoWriter, mux_audio
 from genefaceplusplus_tpu.models.audio2motion.vae_model import PitchContourVAEModel, VAEModel
-from genefaceplusplus_tpu.models.full_renderer import render_full_frame
+from genefaceplusplus_tpu.models.full_renderer import (
+    render_full_frame,
+    sr_apply_batched,
+)
 from genefaceplusplus_tpu.models.postnet.lle import compute_lle_projection
 from genefaceplusplus_tpu.models.radnerf import RADNeRF, RADNeRFConfig
 from genefaceplusplus_tpu.models.radnerf_torso import TorsoConfig, TorsoField
@@ -210,6 +213,18 @@ class GeneFaceInfer:
         # rebuilding the closure per call would recompile the full frame
         # program for every streamed chunk
         self._fn_cache: Dict[tuple, Any] = {}
+        # jitted hot paths outside the frame loop: eager dispatch compiles
+        # per primitive through the axon TPU tunnel (measured: the eager
+        # a2m forward alone stalls streaming for minutes), so every
+        # device-sized computation here must be jitted. jax.jit retraces
+        # per shape (audio length), which is exactly the cache we want.
+        self._a2m_jit: Dict[float, Any] = {}
+        if self.face3d_helper is not None:
+            self._jit_idexp_lm3d = jax.jit(self.face3d_helper.reconstruct_idexp_lm3d)
+            self._jit_lm2d_nerf = jax.jit(self.face3d_helper.reconstruct_lm2d_nerf)
+        self._jit_lle = jax.jit(compute_lle_projection, static_argnames=("K",))
+        self._jit_rays = jax.jit(pixel_rays, static_argnums=(1, 2, 3))
+        self._jit_cond_windows = jax.jit(get_audio_features_batch, static_argnums=(2,))
 
     # ------------------------------------------------------------------
     def _auto_head_crop(self):
@@ -416,10 +431,13 @@ class GeneFaceInfer:
             "mouth_amp": jnp.full((1, 1), float(inp.get("mouth_amp", 0.4))),
         }
         self.rng, sub = jax.random.split(self.rng)
-        pred, _ = self.a2m_model.apply(
-            self.a2m_params, a2m_batch, train=False,
-            temperature=float(inp.get("temperature", 0.2)), rng=sub,
-        )
+        temp = float(inp.get("temperature", 0.2))
+        if temp not in self._a2m_jit:
+            model = self.a2m_model
+            self._a2m_jit[temp] = jax.jit(
+                lambda params, b, rng: model.apply(
+                    params, b, train=False, temperature=temp, rng=rng))
+        pred, _ = self._a2m_jit[temp](self.a2m_params, a2m_batch, sub)
         pred = np.asarray(pred[0])  # [T, 64] exp (or 144 id+exp)
         if pred.shape[-1] == 144:
             id_coeff, exp = pred[:, :80], pred[:, 80:]
@@ -429,7 +447,7 @@ class GeneFaceInfer:
             exp = pred
 
         # landmark reconstruction on the mediapipe basis, subset to lm68
-        idexp = np.asarray(self.face3d_helper.reconstruct_idexp_lm3d(
+        idexp = np.asarray(self._jit_idexp_lm3d(
             jnp.asarray(id_coeff), jnp.asarray(exp)))
         if idexp.shape[1] >= 468:
             idexp = idexp[:, INDEX_LM68_FROM_LM478]
@@ -450,7 +468,9 @@ class GeneFaceInfer:
         if self.postnet_model is not None:
             f0 = np.asarray(batch["f0"], np.float32)
             f0n = (f0 / 400.0).reshape(1, -1, 1)
-            refined = self.postnet_model.apply(
+            if "postnet" not in self._fn_cache:
+                self._fn_cache["postnet"] = jax.jit(self.postnet_model.apply)
+            refined = self._fn_cache["postnet"](
                 self.postnet_params, jnp.asarray(flat[None]), jnp.asarray(f0n)
             )
             flat = np.asarray(refined[0])
@@ -458,7 +478,7 @@ class GeneFaceInfer:
         # LLE blend onto the training manifold (:371-397)
         lle_percent = float(inp.get("lle_percent", 0.2))
         if lle_percent > 0:
-            fuse, _, _ = compute_lle_projection(jnp.asarray(flat), jnp.asarray(ds_lm.reshape(-1, 68 * 3)), K=10)
+            fuse, _, _ = self._jit_lle(jnp.asarray(flat), jnp.asarray(ds_lm.reshape(-1, 68 * 3)), K=10)
             flat = lle_percent * np.asarray(fuse) + (1 - lle_percent) * flat
         idexp = flat.reshape(T, 68, 3)
         normalized = np.clip((idexp - mean) / std, lower, upper)
@@ -485,7 +505,7 @@ class GeneFaceInfer:
         # smoothed head pose -> lm68 2D for the torso condition (:425-429)
         smo_euler = smooth_features_xd(batch["eulers"])
         smo_trans = smooth_features_xd(batch["transs"])
-        lm2d = self.face3d_helper.reconstruct_lm2d_nerf(
+        lm2d = self._jit_lm2d_nerf(
             jnp.asarray(id_coeff), jnp.asarray(exp), jnp.asarray(smo_euler), jnp.asarray(smo_trans)
         )
         lm2d = np.asarray(lm2d)
@@ -521,11 +541,15 @@ class GeneFaceInfer:
         return fn
 
     def _build_chunk_fn(self, opts: RenderOptions, H: int, W: int, chunk: int,
-                        head_crop=None, torso_crop=None, sr_crop=None):
+                        head_crop=None, torso_crop=None, sr_crop=None,
+                        out_dtype="float32"):
         """Render `chunk` frames in ONE device dispatch (lax.scan): host
         dispatch latency would otherwise dominate the production frame loop
-        (docs/DESIGN.md: ~26 ms/dispatch through the TPU tunnel)."""
-        key = ("chunk", opts, H, W, chunk, head_crop, torso_crop, sr_crop)
+        (docs/DESIGN.md: ~26 ms/dispatch through the TPU tunnel).
+        out_dtype="uint8" quantises ON DEVICE (bit-identical to the host's
+        (clip*255).astype(uint8)) — 4x less device->host frame traffic,
+        which dominates streaming through the tunnel."""
+        key = ("chunk", opts, H, W, chunk, head_crop, torso_crop, sr_crop, out_dtype)
         if key in self._fn_cache:
             return self._fn_cache[key]
         head_model, torso_model, sr_model = self.head_model, self.torso_model, self.sr_model
@@ -537,6 +561,8 @@ class GeneFaceInfer:
         def chunk_fn(head_params, torso_params, sr_params, rays_o, rays_d,
                      cond_wins, eye_areas, occupancy, bg_color, bg_coords, lm68s):
             # rays_o/d: [C, R, 3]; cond_wins: [C, smo, 1, F]; lm68s: [C, 1, 68, 2]
+            # SR runs BATCHED over the chunk after the scan (batch-1 convs
+            # underutilize the MXU; full_renderer.py:sr_apply_batched)
             def body(_, xs):
                 ro, rd, cw, ea, lm = xs
                 out = render_full_frame(
@@ -545,15 +571,19 @@ class GeneFaceInfer:
                     eye_area_percent=ea, index=0,
                     torso_model=torso_model, torso_params=torso_params,
                     bg_coords=bg_coords, lm68=lm, occupancy_2d=torso_occ2d,
-                    sr_model=sr_model, sr_params=sr_params,
                     head_crop=head_crop, torso_crop=torso_crop,
-                    sr_crop=sr_crop, sr_bg=sr_bg,
                 )
-                img = out.sr_rgb_map if out.sr_rgb_map is not None else out.rgb_map.reshape(H, W, 3)
-                return 0, img
+                return 0, out.rgb_map.reshape(H, W, 3)
 
-            _, imgs = jax.lax.scan(body, 0, (rays_o, rays_d, cond_wins, eye_areas, lm68s))
-            return imgs  # [C, H', W', 3]
+            _, raws = jax.lax.scan(body, 0, (rays_o, rays_d, cond_wins, eye_areas, lm68s))
+            if sr_model is None:
+                imgs = raws  # [C, H, W, 3]
+            else:
+                imgs = sr_apply_batched(sr_model, sr_params, raws,
+                                        sr_crop=sr_crop, sr_bg=sr_bg)  # [C, 2H, 2W, 3]
+            if out_dtype == "uint8":
+                imgs = (jnp.clip(imgs, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+            return imgs
 
         fn = jax.jit(chunk_fn)
         self._fn_cache[key] = fn
@@ -579,11 +609,12 @@ class GeneFaceInfer:
         torso_crop = resolve_crop(inp, "torso_crop", self.torso_crop)
         sr_crop = resolve_crop(inp, "sr_crop", self.sr_crop)
         chunk_fn = self._build_chunk_fn(opts, H, W, chunk, head_crop=head_crop,
-                                        torso_crop=torso_crop, sr_crop=sr_crop)
+                                        torso_crop=torso_crop, sr_crop=sr_crop,
+                                        out_dtype="uint8")
         bg_coords = get_bg_coords(H, W)[0]
         bg_color = jnp.asarray(ds.bg_img.reshape(-1, 3))
         conds = jnp.asarray(batch["cond"])  # [T, 1, 204]
-        cond_windows = get_audio_features_batch(conds, jnp.arange(T), self.head_cfg.smo_win_size)
+        cond_windows = self._jit_cond_windows(conds, jnp.arange(T), self.head_cfg.smo_win_size)
         eye_areas = jnp.asarray(batch["eye_area_percent"])  # [T, 1]
         lm68s = jnp.asarray(batch["lm68"], jnp.float32)  # [T, 68, 2]
 
@@ -594,7 +625,7 @@ class GeneFaceInfer:
             idxs = [min(start + j, T - 1) for j in range(chunk)]  # pad tail
             n_real = min(chunk, T - start)
             poses = jnp.asarray(batch["poses"][idxs])  # [C, 4, 4]
-            rays_o, rays_d, _ = pixel_rays(poses, ds.intrinsics, H, W)
+            rays_o, rays_d, _ = self._jit_rays(poses, tuple(ds.intrinsics), H, W)
             imgs = chunk_fn(
                 self.head_params, self.torso_params, self.sr_params,
                 rays_o, rays_d, cond_windows[jnp.asarray(idxs)],
@@ -613,7 +644,8 @@ class GeneFaceInfer:
                         draw_landmarks, side_by_side,
                     )
 
-                    base = (np.clip(frame, 0, 1) * 255).astype(np.uint8)
+                    base = (frame if frame.dtype == np.uint8
+                            else (np.clip(frame, 0, 1) * 255).astype(np.uint8))
                     panel = draw_landmarks(
                         np.zeros_like(base), batch["lm68"][idxs[j]],
                         color=(64, 255, 64), radius=max(1, base.shape[0] // 128),

@@ -105,11 +105,14 @@ def stream_infer(
         else:
             raise RuntimeError("no hubert source for streaming")
 
+        t8 = len(hubert) // 8 * 8  # a2m needs a multiple-of-8 feature length
+        if t8 == 0:
+            break  # tail shorter than one motion block
         batch = {
-            "hubert": hubert[: len(hubert) // 8 * 8],
-            "f0": f0[: len(hubert) // 8 * 8],
-            "wav16k": chunk_padded,
-            "T": len(hubert) // 8 * 8 // 2,
+            "hubert": hubert[:t8],
+            "f0": f0[:t8],
+            "wav16k": chunk_padded[: t8 * audio_lib.HOP_SIZE],
+            "T": t8 // 2,
         }
         # pose schedule continues across chunks
         from genefaceplusplus_tpu.utils.smoothing import mirror_index
@@ -127,7 +130,11 @@ def stream_infer(
             yield from _drain(pending)
         pending = dispatched
         frame_offset += batch["T"]
-        pos += chunk_samples
+        # advance by CONSUMED samples, not the nominal chunk size: the
+        # multiple-of-8 feature truncation otherwise drops ~4 frames per
+        # chunk and audio/pose positions drift apart (cumulative A/V
+        # desync of 160 ms per 2 s chunk, and an eventual empty batch)
+        pos += batch["T"] * 2 * audio_lib.HOP_SIZE
     if pending is not None:
         yield from _drain(pending)
 
@@ -136,7 +143,10 @@ def _drain(dispatched) -> Iterator[np.ndarray]:
     for imgs, n_real in dispatched:
         arr = np.asarray(imgs)  # device sync happens here
         for j in range(n_real):
-            yield (np.clip(arr[j], 0, 1) * 255).astype(np.uint8)
+            if arr.dtype == np.uint8:  # quantised on device (4x less transfer)
+                yield arr[j]
+            else:
+                yield (np.clip(arr[j], 0, 1) * 255).astype(np.uint8)
 
 
 def _dispatch_render(infer, batch, inp):
@@ -163,11 +173,12 @@ def _dispatch_render(infer, batch, inp):
     torso_crop = resolve_crop(inp, "torso_crop", infer.torso_crop)
     sr_crop = resolve_crop(inp, "sr_crop", infer.sr_crop)
     chunk_fn = infer._build_chunk_fn(opts, H, W, chunk, head_crop=head_crop,
-                                     torso_crop=torso_crop, sr_crop=sr_crop)
+                                     torso_crop=torso_crop, sr_crop=sr_crop,
+                                     out_dtype="uint8")
     bg_coords = get_bg_coords(H, W)[0]
     bg_color = jnp.asarray(ds.bg_img.reshape(-1, 3))
     conds = jnp.asarray(batch["cond"])
-    cond_windows = get_audio_features_batch(conds, jnp.arange(T), infer.head_cfg.smo_win_size)
+    cond_windows = infer._jit_cond_windows(conds, jnp.arange(T), infer.head_cfg.smo_win_size)
     eye_areas = jnp.asarray(batch["eye_area_percent"])
     lm68s = jnp.asarray(batch["lm68"], jnp.float32)
 
@@ -176,7 +187,7 @@ def _dispatch_render(infer, batch, inp):
         idxs = [min(start + j, T - 1) for j in range(chunk)]
         n_real = min(chunk, T - start)
         poses = jnp.asarray(batch["poses"][idxs])
-        rays_o, rays_d, _ = pixel_rays(poses, ds.intrinsics, H, W)
+        rays_o, rays_d, _ = infer._jit_rays(poses, tuple(ds.intrinsics), H, W)
         imgs = chunk_fn(
             infer.head_params, infer.torso_params, infer.sr_params,
             rays_o, rays_d, cond_windows[jnp.asarray(idxs)],

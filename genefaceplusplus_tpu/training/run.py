@@ -108,6 +108,7 @@ def main(argv=None):
             lip_window=cfg.get("lip_window", 64),
             finetune_lips=cfg.get("finetune_lips", True),
             finetune_lips_start_iter=cfg.get("finetune_lips_start_iter", 200_000),
+            sr_dtype=cfg.get("sr_dtype", "bfloat16"),
         )
         task = SRHeadNeRFTask(dataset, RADNeRFConfig.from_hparams(cfg), tcfg, hp,
                               seed=cfg.get("seed", 9999))

@@ -40,3 +40,31 @@ def test_batch_matches_single():
     for j, i in enumerate([0, 4, 9]):
         single = get_audio_features(FEATS, i, smo_win_size=3, att_mode=2)
         np.testing.assert_allclose(np.asarray(batch[j]), np.asarray(single))
+
+
+def test_real_speech_wav_mel_f0():
+    """Real-speech regression: the reference ships one validation wav
+    (data/raw/val_wavs/MacronSpeech.wav); the native Slaney-mel + ACF-F0
+    extractors must produce plausible speech features from it."""
+    import os
+
+    import pytest
+
+    path = "/root/reference/data/raw/val_wavs/MacronSpeech.wav"
+    if not os.path.exists(path):
+        pytest.skip("reference validation wav not present")
+    from genefaceplusplus_tpu.data import audio
+
+    wav = audio.load_wav_16k(path)
+    assert wav.ndim == 1 and len(wav) > 16000  # at least a second of speech
+    assert np.abs(wav).max() <= 1.0 + 1e-6
+    wav_padded, mel = audio.extract_mel(wav)
+    f0 = audio.extract_f0(wav, mel_len=mel.shape[0])
+    assert np.isfinite(mel).all()
+    # voiced frames must exist, with F0 in the human speech range
+    f0 = np.asarray(f0)
+    voiced = f0[f0 > 0]
+    assert len(voiced) > 0.2 * len(f0)  # speech, not silence
+    assert 60 <= np.median(voiced) <= 320, np.median(voiced)
+    # mel frames and f0 frames must align to the same hop grid
+    assert abs(mel.shape[0] - len(f0)) <= 2, (mel.shape, f0.shape)

@@ -279,3 +279,29 @@ def test_sr_crop_matches_full_render():
                                 torso_crop=torso_crop, **kw)
     np.testing.assert_allclose(np.asarray(cropped.sr_rgb_map),
                                np.asarray(full.sr_rgb_map), atol=2e-5)
+
+
+def test_sr_apply_batched_matches_single():
+    """Chunk-level batched SR (sr_apply_batched) is frame-wise identical to
+    single-frame application, with and without the static-region skip."""
+    from genefaceplusplus_tpu.models.full_renderer import sr_apply_batched
+
+    H = W = 32
+    sr = Superresolution(channels=3, input_resolution=W)
+    sr_params = sr.init(jax.random.PRNGKey(0), jnp.zeros((1, H, W, 3)))
+    raws = jax.random.uniform(jax.random.PRNGKey(1), (3, H, W, 3))
+
+    batched = np.asarray(sr_apply_batched(sr, sr_params, raws))
+    for i in range(3):
+        single = np.asarray(sr_apply_batched(sr, sr_params, raws[i:i + 1]))[0]
+        np.testing.assert_allclose(batched[i], single, atol=1e-5)
+
+    sr_crop = ((4, 0, 24, 32), (8, 4, 16, 24))
+    bg = jnp.full((1, H, W, 3), 0.5)
+    sr_bg = jnp.clip(sr.apply(sr_params, bg), 0.0, 1.0)[0]
+    batched = np.asarray(sr_apply_batched(sr, sr_params, raws, sr_crop, sr_bg))
+    assert batched.shape == (3, 2 * H, 2 * W, 3)
+    for i in range(3):
+        single = np.asarray(
+            sr_apply_batched(sr, sr_params, raws[i:i + 1], sr_crop, sr_bg))[0]
+        np.testing.assert_allclose(batched[i], single, atol=1e-5)

@@ -42,3 +42,25 @@ def test_stream_infer_yields_frames(infer):
     assert frames[0].shape == (24, 24, 3) and frames[0].dtype == np.uint8
     # frames vary over time (conds drive the render)
     assert any(not np.array_equal(frames[0], f) for f in frames[1:])
+
+
+def test_stream_infer_no_audio_drift(infer):
+    """The multiple-of-8 feature truncation must not desync audio and
+    frames: the cursor advances by CONSUMED samples, so over a long wav the
+    frame count matches the consumed audio duration at 25 fps exactly
+    (regression: 4 dropped frames per 2 s chunk -> 160 ms/chunk A/V drift
+    and an eventual empty-batch crash)."""
+    rng = np.random.RandomState(1)
+    sr = 16000
+    secs = 12
+    wav = (0.3 * np.sin(2 * np.pi * 160 * np.arange(sr * secs) / sr)).astype(np.float32)
+    hubert_full = rng.randn(secs * 50 + 16, 64).astype(np.float32)
+    n = 0
+    for _ in stream_infer(
+        infer, wav, {"hubert_full": hubert_full, "blink_mode": "none", "lle_percent": 0.0},
+        chunk_seconds=2.0,
+    ):
+        n += 1
+    # every chunk consumes exactly T frames of audio; the tail (<1 block) is
+    # dropped, so 25*secs - n < one chunk's frame count
+    assert 25 * secs - 50 <= n <= 25 * secs, n
