@@ -119,10 +119,10 @@ def bench_full(n_frames: int = 50):
     # get constant-folded by XLA at compile time, which blows the compile
     # of the 65k-ray marching arithmetic past the driver timeout (this was
     # the round-1 full-pipeline pathology).
-    from genefaceplusplus_tpu.models.full_renderer import sr_apply_batched
-
-    sr_batch = 10  # production chunk-level batched SR (pipeline chunk=8)
-
+    # SR inside the scan body (the production chunk fn structure): batching
+    # SR per chunk measured 167.9 vs 176.9 fps — materialising the raw-frame
+    # stack between scan and SR costs more HBM traffic than batch-1 convs
+    # lose on the MXU.
     @jax.jit
     def run(head_params, torso_params, sr_params, cond, occ, ro, rd,
             bg_coords, bg_color, lm68, occ2d):
@@ -133,19 +133,12 @@ def bench_full(n_frames: int = 50):
                 bg_color=bg_color, opts=opts, image_hw=(H, W),
                 torso_model=torso, torso_params=torso_params,
                 bg_coords=bg_coords, lm68=lm68, occupancy_2d=occ2d,
-                head_crop=head_crop, torso_crop=torso_crop,
+                sr_model=sr, sr_params=sr_params, head_crop=head_crop,
+                torso_crop=torso_crop, sr_crop=sr_crop, sr_bg=sr_bg,
             )
-            return carry + 1e-12 * out.rgb_map[0, 0], out.rgb_map
+            return out.sr_rgb_map.sum(), ()
 
-        _, raws = jax.lax.scan(body, 0.0, jnp.arange(n_frames, dtype=jnp.float32))
-        # SR batched over chunk-sized groups, as the inference pipeline does
-        # (full_renderer.py:sr_apply_batched)
-        def sr_body(carry, rb):
-            y = sr_apply_batched(sr, sr_params, rb, sr_crop=sr_crop, sr_bg=sr_bg)
-            return carry + y.sum(), ()
-
-        tot, _ = jax.lax.scan(
-            sr_body, 0.0, raws.reshape(n_frames // sr_batch, sr_batch, H, W, 3))
+        tot, _ = jax.lax.scan(body, 0.0, jnp.arange(n_frames, dtype=jnp.float32))
         return tot
 
     args = (head_params, torso_params, sr_params, cond, occ, ro, rd,

@@ -35,10 +35,7 @@ from genefaceplusplus_tpu.data.landmarks import (
 )
 from genefaceplusplus_tpu.data.video import StreamingVideoWriter, mux_audio
 from genefaceplusplus_tpu.models.audio2motion.vae_model import PitchContourVAEModel, VAEModel
-from genefaceplusplus_tpu.models.full_renderer import (
-    render_full_frame,
-    sr_apply_batched,
-)
+from genefaceplusplus_tpu.models.full_renderer import render_full_frame
 from genefaceplusplus_tpu.models.postnet.lle import compute_lle_projection
 from genefaceplusplus_tpu.models.radnerf import RADNeRF, RADNeRFConfig
 from genefaceplusplus_tpu.models.radnerf_torso import TorsoConfig, TorsoField
@@ -515,31 +512,6 @@ class GeneFaceInfer:
         return batch
 
     # ------------------------------------------------------------------
-    def _build_frame_fn(self, opts: RenderOptions, H: int, W: int,
-                        head_crop=None):
-        key = ("frame", opts, H, W, head_crop)
-        if key in self._fn_cache:
-            return self._fn_cache[key]
-        head_model, torso_model, sr_model = self.head_model, self.torso_model, self.sr_model
-
-        def frame_fn(head_params, torso_params, sr_params, rays_o, rays_d,
-                     cond_win, eye_area, occupancy, bg_color, bg_coords, lm68):
-            out = render_full_frame(
-                head_model, head_params, rays_o, rays_d, cond_win, occupancy,
-                bg_color=bg_color, opts=opts, image_hw=(H, W),
-                eye_area_percent=eye_area, index=0,
-                torso_model=torso_model, torso_params=torso_params,
-                bg_coords=bg_coords, lm68=lm68,
-                sr_model=sr_model, sr_params=sr_params,
-                head_crop=head_crop,
-            )
-            img = out.sr_rgb_map if out.sr_rgb_map is not None else out.rgb_map.reshape(H, W, 3)
-            return img
-
-        fn = jax.jit(frame_fn)
-        self._fn_cache[key] = fn
-        return fn
-
     def _build_chunk_fn(self, opts: RenderOptions, H: int, W: int, chunk: int,
                         head_crop=None, torso_crop=None, sr_crop=None,
                         out_dtype="float32"):
@@ -561,8 +533,10 @@ class GeneFaceInfer:
         def chunk_fn(head_params, torso_params, sr_params, rays_o, rays_d,
                      cond_wins, eye_areas, occupancy, bg_color, bg_coords, lm68s):
             # rays_o/d: [C, R, 3]; cond_wins: [C, smo, 1, F]; lm68s: [C, 1, 68, 2]
-            # SR runs BATCHED over the chunk after the scan (batch-1 convs
-            # underutilize the MXU; full_renderer.py:sr_apply_batched)
+            # SR stays INSIDE the scan body: batching it per chunk
+            # (sr_apply_batched) measured 5% slower on TPU — materialising
+            # the raw-frame stack between scan and SR costs more HBM
+            # traffic than batch-1 convs lose (docs/DESIGN.md perf log)
             def body(_, xs):
                 ro, rd, cw, ea, lm = xs
                 out = render_full_frame(
@@ -571,19 +545,18 @@ class GeneFaceInfer:
                     eye_area_percent=ea, index=0,
                     torso_model=torso_model, torso_params=torso_params,
                     bg_coords=bg_coords, lm68=lm, occupancy_2d=torso_occ2d,
+                    sr_model=sr_model, sr_params=sr_params,
                     head_crop=head_crop, torso_crop=torso_crop,
+                    sr_crop=sr_crop, sr_bg=sr_bg,
                 )
-                return 0, out.rgb_map.reshape(H, W, 3)
+                img = out.sr_rgb_map if out.sr_rgb_map is not None else out.rgb_map.reshape(H, W, 3)
+                if out_dtype == "uint8":
+                    # quantise ON DEVICE: 4x less device->host frame traffic
+                    img = (jnp.clip(img, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+                return 0, img
 
-            _, raws = jax.lax.scan(body, 0, (rays_o, rays_d, cond_wins, eye_areas, lm68s))
-            if sr_model is None:
-                imgs = raws  # [C, H, W, 3]
-            else:
-                imgs = sr_apply_batched(sr_model, sr_params, raws,
-                                        sr_crop=sr_crop, sr_bg=sr_bg)  # [C, 2H, 2W, 3]
-            if out_dtype == "uint8":
-                imgs = (jnp.clip(imgs, 0.0, 1.0) * 255.0).astype(jnp.uint8)
-            return imgs
+            _, imgs = jax.lax.scan(body, 0, (rays_o, rays_d, cond_wins, eye_areas, lm68s))
+            return imgs  # [C, H', W', 3]
 
         fn = jax.jit(chunk_fn)
         self._fn_cache[key] = fn
