@@ -28,6 +28,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--fast", action="store_true", help="T_thresh=0.05 for more fps")
     p.add_argument("--low_memory_usage", action="store_true", default=True)
     p.add_argument("--debug", action="store_true")
+    # static-crop accelerations (all lossless, derived at load; "auto"
+    # default). "off" renders full-frame — for A/B checks and for driving
+    # poses far outside the dataset's (models/full_renderer.py).
+    p.add_argument("--head_crop", type=str, default="auto",
+                   help="auto | off (head field on the occupied-AABB screen crop)")
+    p.add_argument("--torso_crop", type=str, default="auto",
+                   help="auto | off (torso field on its static footprint rect)")
+    p.add_argument("--sr_crop", type=str, default="auto",
+                   help="auto | off (SR only the changing region; SR(bg) precomputed)")
+    p.add_argument("--frames_per_dispatch", type=int, default=8,
+                   help="frames rendered per device dispatch (lax.scan chunk)")
     return p
 
 
@@ -53,6 +64,10 @@ def main(argv=None):
         "T_thresh": 0.05 if args.fast else args.T_thresh,
         "low_memory_usage": args.low_memory_usage,
         "debug": args.debug,
+        "head_crop": args.head_crop,
+        "torso_crop": args.torso_crop,
+        "sr_crop": args.sr_crop,
+        "frames_per_dispatch": args.frames_per_dispatch,
     }
     out = infer.infer_once(inp)
     print(f"wrote {out}")
