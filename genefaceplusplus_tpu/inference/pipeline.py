@@ -68,12 +68,21 @@ def default_inp(**kw) -> Dict[str, Any]:
 
 def resolve_crop(inp: Dict[str, Any], key: str, auto_value):
     """Resolve a crop knob from `inp`: "auto" (default) -> the load-time
-    value, "off"/"none"/None -> disabled, else an explicit rect (tuples are
-    hashable jit-cache keys, so nested lists are converted)."""
+    value, "off"/"none"/None -> disabled, an explicit rect (list/tuple of
+    ints, possibly nested — converted to tuples for hashable jit-cache
+    keys), or ValueError — unknown strings must fail loudly, not become
+    character tuples used as crop dims."""
     val = inp.get(key, "auto")
-    if val == "auto":
-        return auto_value
-    if val in ("off", "none", None):
+    if isinstance(val, str):
+        s = val.strip().lower()
+        if s == "auto":
+            return auto_value
+        if s in ("off", "none", ""):
+            return None
+        raise ValueError(
+            f"{key}={val!r}: expected 'auto', 'off', or an explicit rect "
+            f"(list/tuple of ints)")
+    if val is None:
         return None
     return tuple(tuple(v) if isinstance(v, (list, tuple)) else v for v in val)
 
@@ -199,8 +208,12 @@ class GeneFaceInfer:
         if self.torso_occupancy_2d is not None and self.dataset is not None:
             from genefaceplusplus_tpu.models.full_renderer import auto_torso_crop
 
+            # crop threshold MUST match the render-time mask threshold
+            # (min(density_thresh_torso, mean_density) — mean is 0 at
+            # inference) or the crop silently cuts real torso alpha
             self.torso_crop = auto_torso_crop(
-                self.torso_occupancy_2d, self.dataset.H, self.dataset.W)
+                self.torso_occupancy_2d, self.dataset.H, self.dataset.W,
+                thr=self.torso_cfg.density_thresh_torso)
         # outside union(head bbox, torso rect) the raw composite == static
         # bg, so its SR is frame-constant: precompute SR(bg) once and SR
         # only the changing rect per frame (full_renderer.py:auto_sr_crop)
@@ -231,26 +244,28 @@ class GeneFaceInfer:
         ds = self.dataset
         if ds is None or self.occupancy is None:
             return None
-        from genefaceplusplus_tpu.models.full_renderer import auto_head_crop
+        from genefaceplusplus_tpu.models.full_renderer import (
+            auto_head_bbox, auto_head_crop)
 
         poses = np.stack([ds.frame_pose(i) for i in range(len(ds))])
+        self._head_bbox = auto_head_bbox(self.occupancy, poses, ds.intrinsics,
+                                         ds.H, ds.W, bound=self.head_cfg.bound)
         return auto_head_crop(self.occupancy, poses, ds.intrinsics,
-                              ds.H, ds.W, bound=self.head_cfg.bound)
+                              ds.H, ds.W, bound=self.head_cfg.bound,
+                              bbox=self._head_bbox)
 
     def _auto_sr_crop(self):
         """(sr_crop, sr_bg): static SR rect + precomputed SR(bg) canvas, or
         (None, None) when SR is absent or the changing region ~fills the
-        frame (full_renderer.py:auto_sr_crop)."""
+        frame (full_renderer.py:auto_sr_crop). Reuses the head bbox
+        projected once by _auto_head_crop."""
         ds = self.dataset
         if (self.sr_model is None or ds is None or self.occupancy is None
                 or ds.bg_img is None):
             return None, None
-        from genefaceplusplus_tpu.models.full_renderer import (
-            auto_head_bbox, auto_sr_crop)
+        from genefaceplusplus_tpu.models.full_renderer import auto_sr_crop
 
-        poses = np.stack([ds.frame_pose(i) for i in range(len(ds))])
-        bbox = auto_head_bbox(self.occupancy, poses, ds.intrinsics,
-                              ds.H, ds.W, bound=self.head_cfg.bound)
+        bbox = getattr(self, "_head_bbox", None)
         if self.torso_model is None:
             torso_rect = None
         elif self.torso_crop is not None:

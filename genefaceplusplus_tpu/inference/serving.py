@@ -154,8 +154,7 @@ def _dispatch_render(infer, batch, inp):
     return a list of (device_images, n_real) — NO host sync here, so the
     caller can overlap the next chunk's audio2motion with this render."""
     from genefaceplusplus_tpu.models.renderer import RenderOptions
-    from genefaceplusplus_tpu.utils.audio_features import get_audio_features_batch
-    from genefaceplusplus_tpu.utils.rays import get_bg_coords, pixel_rays
+    from genefaceplusplus_tpu.utils.rays import get_bg_coords
 
     ds = infer.dataset
     H, W = ds.H, ds.W

@@ -120,6 +120,7 @@ def auto_head_crop(
     pad_px: int = 12,
     multiple: int = 16,
     max_area_frac: float = 0.85,
+    bbox=None,  # precomputed auto_head_bbox result (avoids re-projection)
 ):
     """Crop (ch, cw) covering the occupied AABB's screen projection across
     every pose, padded and rounded up; None when cropping would not pay
@@ -132,7 +133,8 @@ def auto_head_crop(
     """
     import numpy as onp
 
-    bbox = auto_head_bbox(occupancy, poses, intrinsics, H, W, bound)
+    if bbox is None:
+        bbox = auto_head_bbox(occupancy, poses, intrinsics, H, W, bound)
     if bbox is None:
         return None
     r_lo, r_hi, c_lo, c_hi = bbox
@@ -158,7 +160,12 @@ def auto_torso_crop(
     2D torso-occupancy sample can exceed `thr` (one grid cell of bilinear
     margin), or None when cropping would not pay. Host-side, once at load:
     the torso's culling grid is pose-independent at inference, so unlike the
-    head crop the rect needs no per-frame offset."""
+    head crop the rect needs no per-frame offset.
+
+    `thr` MUST be <= the render-time mask threshold
+    (min(density_thresh_torso, mean_density_torso) in render_full_frame) —
+    a larger thr would exclude pixels the mask keeps, silently cutting real
+    torso alpha. Callers pass the same config value used at render time."""
     import numpy as onp
 
     g2 = onp.asarray(occupancy_2d)
@@ -280,7 +287,7 @@ def render_full_frame(
     lm68: Optional[jnp.ndarray] = None,  # [1, 68, 2]
     occupancy_2d: Optional[jnp.ndarray] = None,  # [H, H] torso alpha grid
     mean_density_torso: float = 0.0,
-    density_thresh_torso: float = 0.01,
+    density_thresh_torso: Optional[float] = None,  # default: torso cfg's value
     sr_model: Optional[Superresolution] = None,
     sr_params=None,
     stop_head_gradient: bool = False,
@@ -348,6 +355,8 @@ def render_full_frame(
     torso_alpha = torso_rgb = None
     if torso_model is not None:
         assert bg_coords is not None
+        if density_thresh_torso is None:
+            density_thresh_torso = torso_model.cfg.density_thresh_torso
         t_ind = torso_model.apply(torso_params, index, method=TorsoField.get_individual_code)
         # crop is only lossless when the occupancy mask (which defines the
         # rect and zeroes alpha outside it) is active
@@ -368,10 +377,14 @@ def render_full_frame(
                 sel(weights_sum[:, None], 1) if torso_model.cfg.torso_head_aware else None,
             )
             alpha_c, color_c = t_out.alpha, t_out.color
-            if occupancy_2d is not None:
-                thr = min(density_thresh_torso, mean_density_torso) if mean_density_torso > 0 else density_thresh_torso
-                occ = sample_occupancy_2d(occupancy_2d, sel(bg_coords, 2))
-                alpha_c = alpha_c * (occ > thr)[:, None]
+            # the mask is mandatory here (it zeroes any alpha outside the
+            # rect that bilinear sampling could otherwise leak); the branch
+            # guard guarantees occupancy_2d is present. NB: losslessness
+            # requires the rect to have been computed with a threshold <=
+            # this one (auto_torso_crop thr; callers pass the same value).
+            thr = min(density_thresh_torso, mean_density_torso) if mean_density_torso > 0 else density_thresh_torso
+            occ = sample_occupancy_2d(occupancy_2d, sel(bg_coords, 2))
+            alpha_c = alpha_c * (occ > thr)[:, None]
             paste = lambda a, c: jnp.zeros((H, W, c), a.dtype).at[
                 tr0:tr0 + tch, tc0:tc0 + tcw].set(a.reshape(tch, tcw, c)).reshape(-1, c)
             alpha = paste(alpha_c, 1)

@@ -175,3 +175,20 @@ def test_checkpoint_params_actually_load(tmp_path):
         np.testing.assert_allclose(loaded, trained, atol=1e-6)
     else:
         raise AssertionError(f"config mismatch: {trained.shape} vs {loaded.shape}")
+
+
+def test_resolve_crop_rejects_garbage_strings():
+    """Unknown crop-knob strings must fail loudly, not become character
+    tuples used as crop dims (review finding)."""
+    from genefaceplusplus_tpu.inference.pipeline import resolve_crop
+
+    auto = (1, 2, 3, 4)
+    assert resolve_crop({}, "head_crop", auto) == auto
+    assert resolve_crop({"head_crop": "Auto"}, "head_crop", auto) == auto
+    assert resolve_crop({"head_crop": "OFF "}, "head_crop", auto) is None
+    assert resolve_crop({"head_crop": None}, "head_crop", auto) is None
+    assert resolve_crop({"head_crop": [5, 6]}, "head_crop", auto) == (5, 6)
+    assert resolve_crop({"head_crop": [[1, 2, 3, 4], [5, 6, 7, 8]]},
+                        "head_crop", auto) == ((1, 2, 3, 4), (5, 6, 7, 8))
+    with pytest.raises(ValueError, match="head_crop"):
+        resolve_crop({"head_crop": "192,192"}, "head_crop", auto)
