@@ -194,6 +194,65 @@ def bench_head(n_frames: int = 25):
     return n_frames / best, "head_nerf_render_fps_256"
 
 
+def bench_train(n_steps: int = 20, multi: int = 5):
+    """Head training throughput at the production ray budget (65536 rays/
+    step, S=16, 128^3 occupancy — base.yaml:51,58). `multi` steps run per
+    dispatch (lax.scan over the train step, state donated) so the tunnel's
+    ~26 ms dispatch latency does not pollute the step time."""
+    import jax
+    import jax.numpy as jnp
+
+    from genefaceplusplus_tpu.models.renderer import RenderOptions
+    from genefaceplusplus_tpu.training.radnerf_task import (
+        TaskHParams, create_train_state, make_train_step)
+    from genefaceplusplus_tpu.training.schedulers import make_radnerf_optimizer
+
+    cfg, head, head_params, cond, ro, rd, occ_small, H, W, pose = _setup()
+    R = 65536  # reference ray budget (egs_bases/radnerf/base.yaml:51)
+    g = 128
+    xx, yy, zz = np.meshgrid(*([np.linspace(-1, 1, g)] * 3), indexing="ij")
+    occupancy = jnp.asarray((xx ** 2 + (2.2 * yy) ** 2 + (1.4 * zz) ** 2) < 0.16)
+    key = jax.random.PRNGKey(7)
+    batch = {
+        "rays_o": ro[:R],
+        "rays_d": rd[:R],
+        "cond": cond,
+        "gt_rgb": jax.random.uniform(key, (R, 3)),
+        "bg_color": jnp.ones((R, 3)),
+        "face_mask": jnp.zeros((R,), bool),
+        "idx": 0,
+        "eye_area_percent": jnp.zeros((1, 1)),
+    }
+    tx = make_radnerf_optimizer(lr=5e-4)
+    hp = TaskHParams()
+    opts = RenderOptions(num_samples=16, T_thresh=1e-4, march_mode="interval",
+                         perturb=True)
+    state = create_train_state(head, tx, jax.random.PRNGKey(0), hp)
+    step = make_train_step(head, tx, opts, hp)
+
+    @jax.jit
+    def run_multi(state, batch, occupancy):
+        def body(st, i):
+            b = dict(batch)
+            b["gt_rgb"] = batch["gt_rgb"] + 1e-4 * i  # vary per step
+            st, metrics = step(st, b, occupancy)
+            return st, metrics["total_loss"]
+
+        return jax.lax.scan(body, state, jnp.arange(multi, dtype=jnp.float32))
+
+    state, losses = run_multi(state, batch, occupancy)  # compile
+    float(losses.sum())  # force a value fetch (block_until_ready does not
+    # synchronise through the tunnel: it returned in ~ms for 5 full steps)
+    best = float("inf")
+    for _ in range(max(1, n_steps // multi)):
+        t0 = time.perf_counter()
+        state, losses = run_multi(state, batch, occupancy)
+        float(losses.sum())
+        best = min(best, (time.perf_counter() - t0 - 0.026) / multi)
+    assert np.isfinite(np.asarray(losses)).all()
+    return 1.0 / best, "head_train_steps_per_sec"
+
+
 def main():
     # persistent compile cache: the axon tunnel remote-compiles each new
     # graph (minutes for the full-pipeline scan); a warm cache cuts the
@@ -208,6 +267,17 @@ def main():
     mode = os.environ.get("BENCH_MODE", "full")
     if mode == "head":
         fps, metric = bench_head()
+    elif mode == "train":
+        # aux mode: the reference publishes no steps/s; vs_baseline reports
+        # the implied full-schedule speedup proxy (250k steps / 8h A100-ish
+        # assumption is NOT available, so we report hours for 250k steps
+        # in the value and set vs_baseline to 0.0 = no reference number)
+        sps, metric = bench_train()
+        out = {"metric": metric, "value": round(sps, 2), "unit": "steps/s",
+               "vs_baseline": 0.0,
+               "hours_for_250k_steps": round(250_000 / sps / 3600.0, 2)}
+        print(json.dumps(out))
+        return
     else:
         fps, metric = bench_full()
     print(json.dumps({
