@@ -192,3 +192,70 @@ def test_resolve_crop_rejects_garbage_strings():
                         "head_crop", auto) == ((1, 2, 3, 4), (5, 6, 7, 8))
     with pytest.raises(ValueError, match="head_crop"):
         resolve_crop({"head_crop": "192,192"}, "head_crop", auto)
+
+
+def test_pipeline_crops_lossless_end_to_end(tmp_path):
+    """Pipeline-level equality: the production chunk fn with ALL static
+    crops active (head/torso/SR, resolved by the pipeline itself) renders
+    the same frames as crops-off, on a geometry where every crop engages."""
+    import jax
+    import jax.numpy as jnp
+
+    from genefaceplusplus_tpu.data.dataset import RADNeRFDataset, synthetic
+    from genefaceplusplus_tpu.inference.pipeline import GeneFaceInfer
+    from genefaceplusplus_tpu.models.full_renderer import (
+        auto_sr_crop, auto_torso_crop)
+    from genefaceplusplus_tpu.models.renderer import RenderOptions
+    from genefaceplusplus_tpu.utils.audio_features import get_audio_features_batch
+    from genefaceplusplus_tpu.utils.rays import get_bg_coords, pixel_rays
+
+    a2m_dir, head_dir, torso_dir = (str(tmp_path / d) for d in ("a", "h", "t"))
+    save_config({"use_pitch": True, "audio_in_dim": 64, "motion_type": "exp",
+                 "a2m_hidden_channels": 64, "a2m_enc_layers": 2, "a2m_dec_layers": 2,
+                 "a2m_flow_hidden": 16, "a2m_flow_blocks": 2}, a2m_dir)
+    common = {"with_sr": True, "grid_size": 16, "smo_win_size": 3, "cond_win_size": 1,
+              "hidden_dim_sigma": 16, "hidden_dim_ambient": 16, "hidden_dim_color": 16,
+              "geo_feat_dim": 8, "individual_embedding_num": 4}
+    save_config(common, head_dir)
+    save_config({**common, "torso_individual_embedding_num": 4,
+                 "head_model_dir": head_dir}, torso_dir)
+    H = 64  # raw res (synthetic 128 halved by with_sr)
+    ds = RADNeRFDataset(synthetic(num_frames=8, H=2 * H, W=2 * H), split="train",
+                        smo_win_size=3, with_sr=True)
+    infer = GeneFaceInfer(audio2secc_dir=a2m_dir, head_model_dir=head_dir,
+                          torso_model_dir=torso_dir, dataset=ds)
+
+    # compact occupancies so every crop engages at 64^2
+    infer.occupancy = jnp.zeros((16, 16, 16), bool).at[7:9, 7:9, 7:9].set(True)
+    infer.torso_occupancy_2d = jnp.zeros((16, 16)).at[11:15, 6:10].set(1.0)
+    infer.head_crop = infer._auto_head_crop()
+    infer.torso_crop = auto_torso_crop(infer.torso_occupancy_2d, H, H,
+                                       pad_px=2, multiple=4)
+    sr_crop = auto_sr_crop(infer._head_bbox, infer.torso_crop, H, H,
+                           margin=8, multiple=8, max_area_frac=1.1)
+    assert sr_crop is not None
+    sr_bg = jax.jit(lambda p, b: jnp.clip(infer.sr_model.apply(p, b), 0, 1))(
+        infer.sr_params, jnp.asarray(ds.bg_img, jnp.float32).reshape(1, H, H, 3))[0]
+    infer.sr_crop, infer.sr_bg = sr_crop, sr_bg
+
+    opts = RenderOptions(num_coarse=48, num_samples=8, T_thresh=1e-2,
+                         entry_mode="probe")
+    C = 2
+    bg_coords = get_bg_coords(H, H)[0]
+    bg_color = jnp.asarray(ds.bg_img.reshape(-1, 3))
+    conds = jnp.asarray(np.random.RandomState(0).randn(C, 1, 204), jnp.float32)
+    cond_windows = get_audio_features_batch(conds, jnp.arange(C), 3)
+    poses = jnp.asarray(np.stack([ds.frame_pose(i) for i in range(C)]))
+    rays_o, rays_d, _ = pixel_rays(poses, tuple(ds.intrinsics), H, H)
+    lm68s = jnp.asarray(np.random.RandomState(1).rand(C, 1, 68, 2), jnp.float32)
+    eyes = jnp.zeros((C, 1, 1))
+    args = (infer.head_params, infer.torso_params, infer.sr_params,
+            rays_o, rays_d, cond_windows, eyes, infer.occupancy,
+            bg_color, bg_coords, lm68s)
+
+    on = infer._build_chunk_fn(opts, H, H, C, head_crop=infer.head_crop,
+                               torso_crop=infer.torso_crop, sr_crop=infer.sr_crop)
+    off = infer._build_chunk_fn(opts, H, H, C)
+    a, b = np.asarray(on(*args)), np.asarray(off(*args))
+    assert a.shape == (C, 2 * H, 2 * H, 3)
+    np.testing.assert_allclose(a, b, atol=2e-5)
