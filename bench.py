@@ -228,7 +228,8 @@ def bench_train(n_steps: int = 20, multi: int = 5):
     opts = RenderOptions(num_samples=16, T_thresh=1e-4, march_mode="interval",
                          perturb=True)
     state = create_train_state(head, tx, jax.random.PRNGKey(0), hp)
-    step = make_train_step(head, tx, opts, hp)
+    step = make_train_step(head, tx, opts, hp,
+                           remat_field=os.environ.get("BENCH_REMAT", "0") == "1")
 
     @jax.jit
     def run_multi(state, batch, occupancy):

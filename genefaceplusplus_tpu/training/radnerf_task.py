@@ -72,6 +72,7 @@ def head_loss_fn(
     use_fused_field: bool = False,
     fused_tile: int = 1024,
     fused_interpret: bool = False,
+    remat_field: bool = False,
 ):
     cfg = model.cfg
 
@@ -100,6 +101,12 @@ def head_loss_fn(
     else:
         def field_fn(xyz, dirs):
             return apply(RADNeRF.field, xyz, dirs, cond_feat, ind_code)
+
+    if remat_field:
+        # rematerialise the field in the backward pass: the [R*S, 256..384]
+        # inter-matmul activations otherwise round-trip HBM; recomputing
+        # them can beat re-reading them when the bwd is bandwidth-bound
+        field_fn = jax.checkpoint(field_fn)
 
     out = render_rays(
         field_fn,
@@ -132,7 +139,7 @@ def head_loss_fn(
 def make_train_step(model: RADNeRF, tx: optax.GradientTransformation,
                     opts: RenderOptions, hp: TaskHParams = TaskHParams(),
                     use_fused_field: bool = False, fused_tile: int = 1024,
-                    fused_interpret: bool = False):
+                    fused_interpret: bool = False, remat_field: bool = False):
     """Returns train_step(state, batch, occupancy) -> (state, metrics)."""
 
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray], occupancy: jnp.ndarray
@@ -143,7 +150,7 @@ def make_train_step(model: RADNeRF, tx: optax.GradientTransformation,
         (_, metrics), grads = jax.value_and_grad(head_loss_fn, has_aux=True)(
             state.params, model, batch, occupancy, opts, hp,
             state.global_step, state.lambda_ambient, noise,
-            use_fused_field, fused_tile, fused_interpret,
+            use_fused_field, fused_tile, fused_interpret, remat_field,
         )
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
