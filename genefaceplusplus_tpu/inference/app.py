@@ -31,6 +31,73 @@ wav file: <input type=file name=wav>
 </form>"""
 
 
+# ---- RFC 6455 WebSocket (stdlib-only, server->client frame push) --------
+_WS_GUID = "258EAFA5-E914-47DA-95CA-C5AB0DC85B11"
+
+
+def _ws_accept_key(key: str) -> str:
+    import base64
+    import hashlib
+
+    return base64.b64encode(hashlib.sha1((key + _WS_GUID).encode()).digest()).decode()
+
+
+def ws_send(wfile, payload: bytes, opcode: int = 0x2) -> None:
+    """Write one unmasked server frame (FIN set). opcode 0x1 text, 0x2
+    binary, 0x8 close."""
+    import struct
+
+    n = len(payload)
+    head = bytes([0x80 | opcode])
+    if n < 126:
+        head += bytes([n])
+    elif n < 65536:
+        head += bytes([126]) + struct.pack(">H", n)
+    else:
+        head += bytes([127]) + struct.pack(">Q", n)
+    wfile.write(head + payload)
+    wfile.flush()
+
+
+def ws_recv(rfile):
+    """Read one client frame -> (opcode, payload); client frames are
+    masked per RFC 6455 §5.3. Returns (None, b\"\") on EOF."""
+    import struct
+
+    hdr = rfile.read(2)
+    if len(hdr) < 2:
+        return None, b""
+    b1, b2 = hdr
+    opcode = b1 & 0x0F
+    masked = b2 & 0x80
+    n = b2 & 0x7F
+    if n == 126:
+        n = struct.unpack(">H", rfile.read(2))[0]
+    elif n == 127:
+        n = struct.unpack(">Q", rfile.read(8))[0]
+    mask = rfile.read(4) if masked else b"\x00\x00\x00\x00"
+    data = bytearray(rfile.read(n))
+    for i in range(len(data)):
+        data[i] ^= mask[i % 4]
+    return opcode, bytes(data)
+
+
+def _load_stream_audio(inp):
+    """wav16k from inp: a wav path, or precomputed features (hubert goes to
+    inp['hubert_full'] for the streaming fallback)."""
+    import numpy as np
+
+    from genefaceplusplus_tpu.data import audio as audio_lib
+
+    wav = audio_lib.load_wav_16k(inp["drv_aud"]) if inp.get("drv_aud") else None
+    if wav is None and inp.get("drv_aud_features"):
+        feats = np.load(inp["drv_aud_features"], allow_pickle=True).tolist()
+        inp["hubert_full"] = np.asarray(feats["hubert"], np.float32)
+        t = len(inp["hubert_full"]) * audio_lib.HOP_SIZE
+        wav = np.asarray(feats.get("wav16k", np.zeros(t, np.float32)))
+    return wav
+
+
 def build_gradio_app(infer):
     import gradio as gr
 
@@ -71,10 +138,46 @@ def serve(infer, host: str = "0.0.0.0", port: int = 7860):
 
     class Handler(BaseHTTPRequestHandler):
         def do_GET(self):
+            if (self.path.split("?")[0].rstrip("/") == "/ws"
+                    and "websocket" in self.headers.get("Upgrade", "").lower()):
+                self._handle_ws()
+                return
             self.send_response(200)
             self.send_header("Content-Type", "text/html")
             self.end_headers()
             self.wfile.write(FORM.encode())
+
+        def _handle_ws(self):
+            """WebSocket frame push: the client upgrades, sends ONE text
+            frame of JSON inp (server-side wav / features paths), and
+            receives each rendered frame as a binary JPEG message, then a
+            close frame. Lower per-frame overhead than the MJPEG endpoint
+            and usable from browser JS (`new WebSocket(...)`) without
+            multipart parsing."""
+            import json as _json
+
+            key = self.headers.get("Sec-WebSocket-Key", "")
+            self.send_response(101)
+            self.send_header("Upgrade", "websocket")
+            self.send_header("Connection", "Upgrade")
+            self.send_header("Sec-WebSocket-Accept", _ws_accept_key(key))
+            self.end_headers()
+            opcode, payload = ws_recv(self.rfile)
+            if opcode != 0x1:  # expected the JSON text frame
+                ws_send(self.wfile, b"", opcode=0x8)
+                return
+            import cv2
+
+            from genefaceplusplus_tpu.inference.serving import stream_infer
+
+            inp = _json.loads(payload.decode())
+            wav = _load_stream_audio(inp)
+            with lock:
+                for frame in stream_infer(infer, wav, inp):
+                    ok, jpg = cv2.imencode(".jpg", cv2.cvtColor(frame, cv2.COLOR_RGB2BGR))
+                    if ok:
+                        ws_send(self.wfile, jpg.tobytes(), opcode=0x2)
+            ws_send(self.wfile, b"", opcode=0x8)
 
         def do_POST(self):
             import cgi
@@ -100,17 +203,10 @@ def serve(infer, host: str = "0.0.0.0", port: int = 7860):
                 # browser as the pipelined renderer emits them — video
                 # starts after the first audio chunk, not the whole clip
                 import cv2
-                import numpy as np
 
-                from genefaceplusplus_tpu.data import audio as audio_lib
                 from genefaceplusplus_tpu.inference.serving import stream_infer
 
-                wav = audio_lib.load_wav_16k(inp["drv_aud"]) if inp.get("drv_aud") else None
-                if wav is None and inp.get("drv_aud_features"):
-                    feats = np.load(inp["drv_aud_features"], allow_pickle=True).tolist()
-                    inp["hubert_full"] = np.asarray(feats["hubert"], np.float32)
-                    t = len(inp["hubert_full"]) * audio_lib.HOP_SIZE
-                    wav = np.asarray(feats.get("wav16k", np.zeros(t, np.float32)))
+                wav = _load_stream_audio(inp)
                 self.send_response(200)
                 self.send_header("Content-Type",
                                  "multipart/x-mixed-replace; boundary=frame")

@@ -79,3 +79,75 @@ def test_mjpeg_stream_endpoint(infer, tmp_path):
     assert data.count(b"--frame") >= 2
     assert data.count(b"\xff\xd8") >= 2  # JPEG SOI markers
     conn.close()
+
+
+def test_websocket_stream_endpoint(infer, tmp_path):
+    """RFC 6455 push endpoint: upgrade -> send JSON inp (one masked text
+    frame) -> receive binary JPEG frames -> close frame."""
+    import base64
+    import json
+    import os
+    import socket
+    import struct
+    import threading
+
+    from genefaceplusplus_tpu.inference.app import serve
+
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    t = threading.Thread(target=serve, args=(infer, "127.0.0.1", port), daemon=True)
+    t.start()
+    time.sleep(0.5)
+
+    rng = np.random.RandomState(1)
+    T50 = 64
+    feats = {"hubert": rng.randn(T50, 64).astype(np.float32),
+             "f0": (np.abs(rng.randn(T50)) * 100 + 80).astype(np.float32),
+             "wav16k": rng.randn(T50 * 320).astype(np.float32) * 0.05}
+    fpath = str(tmp_path / "feats_ws.npy")
+    np.save(fpath, feats, allow_pickle=True)
+
+    sock = socket.create_connection(("127.0.0.1", port), timeout=300)
+    key = base64.b64encode(os.urandom(16)).decode()
+    sock.sendall((f"GET /ws HTTP/1.1\r\nHost: x\r\nUpgrade: websocket\r\n"
+                  f"Connection: Upgrade\r\nSec-WebSocket-Key: {key}\r\n"
+                  f"Sec-WebSocket-Version: 13\r\n\r\n").encode())
+    f = sock.makefile("rb")
+    status = f.readline()
+    assert b"101" in status, status
+    while f.readline().strip():  # drain headers
+        pass
+
+    # one masked client text frame with the JSON inp
+    payload = json.dumps({"drv_aud_features": fpath, "blink_mode": "none",
+                          "lle_percent": 0.0}).encode()
+    mask = os.urandom(4)
+    masked = bytes(b ^ mask[i % 4] for i, b in enumerate(payload))
+    hdr = bytes([0x81])
+    n = len(payload)
+    assert n < 65536
+    hdr += (bytes([0x80 | n]) if n < 126
+            else bytes([0x80 | 126]) + struct.pack(">H", n))
+    sock.sendall(hdr + mask + masked)
+
+    frames = []
+    while True:
+        h = f.read(2)
+        assert len(h) == 2, "server closed mid-frame"
+        opcode = h[0] & 0x0F
+        n = h[1] & 0x7F
+        if n == 126:
+            n = struct.unpack(">H", f.read(2))[0]
+        elif n == 127:
+            n = struct.unpack(">Q", f.read(8))[0]
+        data = f.read(n)
+        if opcode == 0x8:  # close
+            break
+        if opcode == 0x2:
+            frames.append(data)
+    sock.close()
+    assert len(frames) >= 2
+    for jpg in frames:
+        assert jpg[:2] == b"\xff\xd8"  # JPEG SOI
