@@ -156,28 +156,42 @@ def serve(infer, host: str = "0.0.0.0", port: int = 7860):
             multipart parsing."""
             import json as _json
 
+            # RFC 6455 requires an HTTP/1.1 status line; the handler's
+            # default HTTP/1.0 makes browsers reject the upgrade
+            self.protocol_version = "HTTP/1.1"
             key = self.headers.get("Sec-WebSocket-Key", "")
             self.send_response(101)
             self.send_header("Upgrade", "websocket")
             self.send_header("Connection", "Upgrade")
             self.send_header("Sec-WebSocket-Accept", _ws_accept_key(key))
             self.end_headers()
-            opcode, payload = ws_recv(self.rfile)
-            if opcode != 0x1:  # expected the JSON text frame
+            try:
+                opcode, payload = ws_recv(self.rfile)
+                if opcode != 0x1:  # expected the JSON text frame
+                    ws_send(self.wfile, b"", opcode=0x8)
+                    return
+                import cv2
+
+                from genefaceplusplus_tpu.inference.serving import stream_infer
+
+                inp = _json.loads(payload.decode())
+                wav = _load_stream_audio(inp)
+                if wav is None:
+                    raise ValueError("inp needs 'drv_aud' or 'drv_aud_features'")
+                with lock:
+                    for frame in stream_infer(infer, wav, inp):
+                        ok, jpg = cv2.imencode(".jpg", cv2.cvtColor(frame, cv2.COLOR_RGB2BGR))
+                        if ok:
+                            ws_send(self.wfile, jpg.tobytes(), opcode=0x2)
+            except Exception as e:  # tell the client before closing
+                try:
+                    ws_send(self.wfile, f"error: {e}".encode(), opcode=0x1)
+                except OSError:
+                    return
+            try:
                 ws_send(self.wfile, b"", opcode=0x8)
-                return
-            import cv2
-
-            from genefaceplusplus_tpu.inference.serving import stream_infer
-
-            inp = _json.loads(payload.decode())
-            wav = _load_stream_audio(inp)
-            with lock:
-                for frame in stream_infer(infer, wav, inp):
-                    ok, jpg = cv2.imencode(".jpg", cv2.cvtColor(frame, cv2.COLOR_RGB2BGR))
-                    if ok:
-                        ws_send(self.wfile, jpg.tobytes(), opcode=0x2)
-            ws_send(self.wfile, b"", opcode=0x8)
+            except OSError:
+                pass
 
         def do_POST(self):
             import cgi

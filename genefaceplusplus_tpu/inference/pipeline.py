@@ -84,6 +84,9 @@ def resolve_crop(inp: Dict[str, Any], key: str, auto_value):
             f"(list/tuple of ints)")
     if val is None:
         return None
+    if not isinstance(val, (list, tuple)):
+        raise ValueError(
+            f"{key}={val!r}: expected 'auto', 'off', or a list/tuple rect")
     return tuple(tuple(v) if isinstance(v, (list, tuple)) else v for v in val)
 
 
@@ -258,14 +261,22 @@ class GeneFaceInfer:
         """(sr_crop, sr_bg): static SR rect + precomputed SR(bg) canvas, or
         (None, None) when SR is absent or the changing region ~fills the
         frame (full_renderer.py:auto_sr_crop). Reuses the head bbox
-        projected once by _auto_head_crop."""
+        projected by _auto_head_crop when fresh, else projects it here —
+        callers that mutate `occupancy` after construction must re-run
+        _auto_head_crop() first (or clear self._head_bbox) so both crops
+        see the same geometry."""
         ds = self.dataset
         if (self.sr_model is None or ds is None or self.occupancy is None
                 or ds.bg_img is None):
             return None, None
-        from genefaceplusplus_tpu.models.full_renderer import auto_sr_crop
+        from genefaceplusplus_tpu.models.full_renderer import (
+            auto_head_bbox, auto_sr_crop)
 
         bbox = getattr(self, "_head_bbox", None)
+        if bbox is None:
+            poses = np.stack([ds.frame_pose(i) for i in range(len(ds))])
+            bbox = auto_head_bbox(self.occupancy, poses, ds.intrinsics,
+                                  ds.H, ds.W, bound=self.head_cfg.bound)
         if self.torso_model is None:
             torso_rect = None
         elif self.torso_crop is not None:
