@@ -132,7 +132,7 @@ def serve(infer, host: str = "0.0.0.0", port: int = 7860):
     except ImportError:
         pass
 
-    from http.server import BaseHTTPRequestHandler, HTTPServer
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
     lock = threading.Lock()
 
@@ -248,7 +248,9 @@ def serve(infer, host: str = "0.0.0.0", port: int = 7860):
             pass
 
     print(f"| serving on http://{host}:{port}")
-    HTTPServer((host, port), Handler).serve_forever()
+    # threaded: a long-running /stream or /ws push must not block other
+    # clients (renders still serialise on `lock`; form GETs stay live)
+    ThreadingHTTPServer((host, port), Handler).serve_forever()
 
 
 def main(argv=None):
