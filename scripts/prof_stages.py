@@ -34,9 +34,10 @@ def setup():
     pose[2, 3] = -2.5
     rays = get_rays(jnp.asarray(pose[None]), (2.0 * W, 2.0 * H, W / 2, H / 2), H, W)
     g = cfg.grid_size
-    # May-calibrated head occupancy (bench.py): face box ~half the frame
+    # the bench.py May-calibrated head occupancy (same scene => the stage
+    # attribution decomposes the headline number)
     xx, yy, zz = np.meshgrid(*([np.linspace(-1, 1, g)] * 3), indexing="ij")
-    occupancy = jnp.asarray((4 * xx ** 2 + 4 * yy ** 2 + 4 * zz ** 2) < 0.6)
+    occupancy = jnp.asarray((xx ** 2 + (2.2 * yy) ** 2 + (1.4 * zz) ** 2) < 0.16)
     return cfg, head, head_params, cond, rays["rays_o"][0], rays["rays_d"][0], occupancy, H, W, pose
 
 
