@@ -59,9 +59,21 @@ def ws_send(wfile, payload: bytes, opcode: int = 0x2) -> None:
     wfile.flush()
 
 
-def ws_recv(rfile):
+class WSMessageTooBig(ValueError):
+    """Client declared a frame longer than the server accepts."""
+
+
+# The only inbound WS message is the JSON `inp` dict — a few KB. Cap well
+# above that but far below anything that could exhaust memory: the declared
+# length is attacker-controlled (up to 2^64-1 via the 127 extended form).
+WS_MAX_PAYLOAD = 4 * 2 ** 20
+
+
+def ws_recv(rfile, max_len: int = WS_MAX_PAYLOAD):
     """Read one client frame -> (opcode, payload); client frames are
-    masked per RFC 6455 §5.3. Returns (None, b\"\") on EOF."""
+    masked per RFC 6455 §5.3. Returns (None, b\"\") on EOF. Raises
+    WSMessageTooBig before allocating when the declared length exceeds
+    `max_len` (callers answer with a 1009 close frame)."""
     import struct
 
     hdr = rfile.read(2)
@@ -75,6 +87,8 @@ def ws_recv(rfile):
         n = struct.unpack(">H", rfile.read(2))[0]
     elif n == 127:
         n = struct.unpack(">Q", rfile.read(8))[0]
+    if n > max_len:
+        raise WSMessageTooBig(f"ws frame of {n} bytes exceeds cap {max_len}")
     mask = rfile.read(4) if masked else b"\x00\x00\x00\x00"
     data = bytearray(rfile.read(n))
     for i in range(len(data)):
@@ -155,6 +169,7 @@ def serve(infer, host: str = "0.0.0.0", port: int = 7860):
             and usable from browser JS (`new WebSocket(...)`) without
             multipart parsing."""
             import json as _json
+            import struct as _struct
 
             # RFC 6455 requires an HTTP/1.1 status line; the handler's
             # default HTTP/1.0 makes browsers reject the upgrade
@@ -165,8 +180,17 @@ def serve(infer, host: str = "0.0.0.0", port: int = 7860):
             self.send_header("Connection", "Upgrade")
             self.send_header("Sec-WebSocket-Accept", _ws_accept_key(key))
             self.end_headers()
+            # after the WS session the socket carries leftover WS bytes, not
+            # HTTP — stop the HTTP/1.1 keep-alive loop from re-parsing them
+            self.close_connection = True
             try:
-                opcode, payload = ws_recv(self.rfile)
+                try:
+                    opcode, payload = ws_recv(self.rfile)
+                except WSMessageTooBig:
+                    ws_send(self.wfile,
+                            _struct.pack(">H", 1009) + b"message too big",
+                            opcode=0x8)
+                    return
                 if opcode != 0x1:  # expected the JSON text frame
                     ws_send(self.wfile, b"", opcode=0x8)
                     return
@@ -188,6 +212,8 @@ def serve(infer, host: str = "0.0.0.0", port: int = 7860):
                     ws_send(self.wfile, f"error: {e}".encode(), opcode=0x1)
                 except OSError:
                     return
+            finally:
+                self.close_connection = True
             try:
                 ws_send(self.wfile, b"", opcode=0x8)
             except OSError:
@@ -254,7 +280,7 @@ def serve(infer, host: str = "0.0.0.0", port: int = 7860):
 
 
 def main(argv=None):
-    from genefaceplusplus_tpu.inference.cli import build_parser
+    from genefaceplusplus_tpu.inference.cli import build_parser, make_infer_mesh
     from genefaceplusplus_tpu.inference.pipeline import GeneFaceInfer
 
     p = build_parser()
@@ -264,6 +290,7 @@ def main(argv=None):
         audio2secc_dir=args.a2m_ckpt or None,
         head_model_dir=args.head_ckpt or None,
         torso_model_dir=args.torso_ckpt or None,
+        mesh=make_infer_mesh(args.n_devices),
     )
     serve(infer, port=args.port)
 

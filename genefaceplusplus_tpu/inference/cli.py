@@ -39,7 +39,19 @@ def build_parser() -> argparse.ArgumentParser:
                    help="auto | off (SR only the changing region; SR(bg) precomputed)")
     p.add_argument("--frames_per_dispatch", type=int, default=8,
                    help="frames rendered per device dispatch (lax.scan chunk)")
+    p.add_argument("--n_devices", type=int, default=1,
+                   help="shard each frame's rays over this many chips "
+                        "(jax.sharding Mesh 'rays' axis; 1 = single chip)")
     return p
+
+
+def make_infer_mesh(n_devices: int):
+    """Mesh over the first n_devices chips (None for single-chip)."""
+    if n_devices <= 1:
+        return None
+    from genefaceplusplus_tpu.parallel.mesh import make_mesh
+
+    return make_mesh(n_devices)
 
 
 def main(argv=None):
@@ -51,6 +63,7 @@ def main(argv=None):
         postnet_dir=args.postnet_ckpt or None,
         head_model_dir=args.head_ckpt or None,
         torso_model_dir=args.torso_ckpt or None,
+        mesh=make_infer_mesh(args.n_devices),
     )
     inp = {
         "drv_aud": args.drv_aud,

@@ -101,8 +101,10 @@ class GeneFaceInfer:
         torso_model_dir: Optional[str] = None,
         dataset: Optional[RADNeRFDataset] = None,
         bfm_dir: str = "deep_3drecon/BFM",
+        mesh=None,  # jax.sharding.Mesh with a 'rays' axis: shard frame rays over chips
     ):
         self.rng = jax.random.PRNGKey(42)
+        self.mesh = mesh
         # ---- audio2motion ----
         self.a2m_cfg = set_hparams(work_dir=audio2secc_dir) if audio2secc_dir else Config({})
         audio_in_dim = self.a2m_cfg.get("audio_in_dim", 1024)
@@ -540,14 +542,24 @@ class GeneFaceInfer:
     # ------------------------------------------------------------------
     def _build_chunk_fn(self, opts: RenderOptions, H: int, W: int, chunk: int,
                         head_crop=None, torso_crop=None, sr_crop=None,
-                        out_dtype="float32"):
+                        out_dtype="float32", mesh=None):
         """Render `chunk` frames in ONE device dispatch (lax.scan): host
         dispatch latency would otherwise dominate the production frame loop
         (docs/DESIGN.md: ~26 ms/dispatch through the TPU tunnel).
         out_dtype="uint8" quantises ON DEVICE (bit-identical to the host's
         (clip*255).astype(uint8)) — 4x less device->host frame traffic,
-        which dominates streaming through the tunnel."""
-        key = ("chunk", opts, H, W, chunk, head_crop, torso_crop, sr_crop, out_dtype)
+        which dominates streaming through the tunnel.
+
+        mesh (or self.mesh): a Mesh with a 'rays' axis — the per-frame ray
+        grid shards over it (in_shardings below; SURVEY §2.8 serving plan),
+        params/occupancy replicate, outputs gather back replicated. The
+        uint8 on-device quantisation is kept under the mesh."""
+        if mesh is None:
+            mesh = self.mesh
+        mesh_key = (None if mesh is None
+                    else (tuple(d.id for d in mesh.devices.flat), mesh.axis_names))
+        key = ("chunk", opts, H, W, chunk, head_crop, torso_crop, sr_crop,
+               out_dtype, mesh_key)
         if key in self._fn_cache:
             return self._fn_cache[key]
         head_model, torso_model, sr_model = self.head_model, self.torso_model, self.sr_model
@@ -579,12 +591,26 @@ class GeneFaceInfer:
                 if out_dtype == "uint8":
                     # quantise ON DEVICE: 4x less device->host frame traffic
                     img = (jnp.clip(img, 0.0, 1.0) * 255.0).astype(jnp.uint8)
-                return 0, img
+                fits = (jnp.asarray(True) if out.head_crop_fits is None
+                        else out.head_crop_fits)
+                return 0, (img, fits)
 
-            _, imgs = jax.lax.scan(body, 0, (rays_o, rays_d, cond_wins, eye_areas, lm68s))
-            return imgs  # [C, H', W', 3]
+            _, (imgs, fits) = jax.lax.scan(body, 0, (rays_o, rays_d, cond_wins, eye_areas, lm68s))
+            return imgs, fits  # [C, H', W', 3], [C] head-crop-fits flags
 
-        fn = jax.jit(chunk_fn)
+        if mesh is None:
+            fn = jax.jit(chunk_fn)
+        else:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            repl = NamedSharding(mesh, P())
+            ray_mid = NamedSharding(mesh, P(None, "rays", None))  # [C, R, 3]
+            ray_flat = NamedSharding(mesh, P("rays", None))  # [R, 3] / [R, 2]
+            # args: head_params, torso_params, sr_params, rays_o, rays_d,
+            #       cond_wins, eye_areas, occupancy, bg_color, bg_coords, lm68s
+            in_shardings = (repl, repl, repl, ray_mid, ray_mid,
+                            repl, repl, repl, ray_flat, ray_flat, repl)
+            fn = jax.jit(chunk_fn, in_shardings=in_shardings, out_shardings=repl)
         self._fn_cache[key] = fn
         return fn
 
@@ -607,6 +633,13 @@ class GeneFaceInfer:
         head_crop = resolve_crop(inp, "head_crop", self.head_crop)
         torso_crop = resolve_crop(inp, "torso_crop", self.torso_crop)
         sr_crop = resolve_crop(inp, "sr_crop", self.sr_crop)
+        # the S=10/probe default is validated on trained identities only
+        # (tests/test_entry_probe.py) — always announce the active budget so
+        # a quality regression on a new identity is traceable to it
+        print(f"| render: entry_mode={opts.entry_mode} num_samples={opts.num_samples} "
+              f"T_thresh={opts.T_thresh} head_crop={head_crop} torso_crop={torso_crop} "
+              f"sr_crop={'on' if sr_crop else None} "
+              f"mesh={self.mesh.shape if self.mesh is not None else None}")
         chunk_fn = self._build_chunk_fn(opts, H, W, chunk, head_crop=head_crop,
                                         torso_crop=torso_crop, sr_crop=sr_crop,
                                         out_dtype="uint8")
@@ -620,12 +653,13 @@ class GeneFaceInfer:
         debug = bool(inp.get("debug", False))
         tmp_video = os.path.splitext(inp["out_name"])[0] + "_novoice.mp4"
         writer = StreamingVideoWriter(tmp_video, fps=25)
+        crop_misses = 0
         for start in range(0, T, chunk):
             idxs = [min(start + j, T - 1) for j in range(chunk)]  # pad tail
             n_real = min(chunk, T - start)
             poses = jnp.asarray(batch["poses"][idxs])  # [C, 4, 4]
             rays_o, rays_d, _ = self._jit_rays(poses, tuple(ds.intrinsics), H, W)
-            imgs = chunk_fn(
+            imgs, fits = chunk_fn(
                 self.head_params, self.torso_params, self.sr_params,
                 rays_o, rays_d, cond_windows[jnp.asarray(idxs)],
                 eye_areas[jnp.asarray(idxs)][:, None, :],
@@ -633,6 +667,8 @@ class GeneFaceInfer:
                 lm68s[jnp.asarray(idxs)][:, None],
             )
             imgs = np.asarray(imgs)
+            if head_crop is not None:
+                crop_misses += int(np.sum(~np.asarray(fits)[:n_real]))
             for j in range(n_real):
                 frame = imgs[j]
                 if debug:
@@ -652,6 +688,11 @@ class GeneFaceInfer:
                     frame = side_by_side(base, panel).astype(np.float32) / 255.0
                 writer.append(frame)
         writer.close()
+        if crop_misses:
+            print(f"| WARNING: head exceeded the auto head-crop window on "
+                  f"{crop_misses}/{T} frames (driving poses outside the "
+                  f"dataset envelope) — frames were truncated; rerun with "
+                  f"head_crop='off' for these poses")
 
         wav_path = os.path.splitext(inp["out_name"])[0] + "_audio.wav"
         audio_lib.save_wav_16k(batch["wav16k"], wav_path)

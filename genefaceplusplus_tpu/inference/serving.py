@@ -125,7 +125,7 @@ def stream_infer(
         batch["transs"] = np.asarray(ds.ds["trans"])[idxs]
 
         batch = infer.forward_audio2secc(batch, inp)
-        dispatched = _dispatch_render(infer, batch, inp)  # async
+        dispatched = _dispatch_render(infer, batch, inp, mesh=mesh)  # async
         if pending is not None:
             yield from _drain(pending)
         pending = dispatched
@@ -140,8 +140,13 @@ def stream_infer(
 
 
 def _drain(dispatched) -> Iterator[np.ndarray]:
-    for imgs, n_real in dispatched:
+    for imgs, fits, n_real in dispatched:
         arr = np.asarray(imgs)  # device sync happens here
+        misses = int(np.sum(~np.asarray(fits)[:n_real])) if fits is not None else 0
+        if misses:
+            print(f"| WARNING: head exceeded the auto head-crop window on "
+                  f"{misses}/{n_real} streamed frames — use head_crop='off' "
+                  f"for poses outside the dataset envelope")
         for j in range(n_real):
             if arr.dtype == np.uint8:  # quantised on device (4x less transfer)
                 yield arr[j]
@@ -149,10 +154,12 @@ def _drain(dispatched) -> Iterator[np.ndarray]:
                 yield (np.clip(arr[j], 0, 1) * 255).astype(np.uint8)
 
 
-def _dispatch_render(infer, batch, inp):
+def _dispatch_render(infer, batch, inp, mesh: Optional[Mesh] = None):
     """Dispatch the chunk's frame renders (lax.scan chunk fn, async) and
-    return a list of (device_images, n_real) — NO host sync here, so the
-    caller can overlap the next chunk's audio2motion with this render."""
+    return a list of (device_images, fits, n_real) — NO host sync here, so
+    the caller can overlap the next chunk's audio2motion with this render.
+    With `mesh` (or infer.mesh) the frame rays shard over the mesh's 'rays'
+    axis (pipeline._build_chunk_fn in_shardings) — multi-chip streaming."""
     from genefaceplusplus_tpu.models.renderer import RenderOptions
     from genefaceplusplus_tpu.utils.rays import get_bg_coords
 
@@ -173,7 +180,7 @@ def _dispatch_render(infer, batch, inp):
     sr_crop = resolve_crop(inp, "sr_crop", infer.sr_crop)
     chunk_fn = infer._build_chunk_fn(opts, H, W, chunk, head_crop=head_crop,
                                      torso_crop=torso_crop, sr_crop=sr_crop,
-                                     out_dtype="uint8")
+                                     out_dtype="uint8", mesh=mesh)
     bg_coords = get_bg_coords(H, W)[0]
     bg_color = jnp.asarray(ds.bg_img.reshape(-1, 3))
     conds = jnp.asarray(batch["cond"])
@@ -187,14 +194,14 @@ def _dispatch_render(infer, batch, inp):
         n_real = min(chunk, T - start)
         poses = jnp.asarray(batch["poses"][idxs])
         rays_o, rays_d, _ = infer._jit_rays(poses, tuple(ds.intrinsics), H, W)
-        imgs = chunk_fn(
+        imgs, fits = chunk_fn(
             infer.head_params, infer.torso_params, infer.sr_params,
             rays_o, rays_d, cond_windows[jnp.asarray(idxs)],
             eye_areas[jnp.asarray(idxs)][:, None, :],
             infer.occupancy, bg_color, bg_coords,
             lm68s[jnp.asarray(idxs)][:, None],
         )
-        dispatched.append((imgs, n_real))
+        dispatched.append((imgs, fits if head_crop is not None else None, n_real))
     return dispatched
 
 

@@ -267,6 +267,12 @@ class FrameOutput(NamedTuple):
     weights_sum: jnp.ndarray  # [H*W]
     torso_alpha: Optional[jnp.ndarray]  # [H*W, 1]
     torso_rgb: Optional[jnp.ndarray]  # [H*W, 3]
+    # scalar bool (or None when head_crop is off): True when the head's
+    # screen-projected hit extent fit inside the crop window this frame.
+    # False means the pose left the envelope the crop was sized from and
+    # the head was truncated — callers should fall back to head_crop=off
+    # for such poses (see head_crop_offset docstring).
+    head_crop_fits: Optional[jnp.ndarray] = None
 
 
 def render_full_frame(
@@ -297,6 +303,7 @@ def render_full_frame(
     sr_bg=None,  # [2H, 2W, 3] precomputed SR of the static background
 ) -> FrameOutput:
     cfg = head_model.cfg
+    crop_fits = None
 
     cond_feat = head_model.apply(head_params, cond_window, eye_area_percent, method=RADNeRF.cal_cond_feat)
     ind_code = head_model.apply(head_params, index, method=RADNeRF.get_individual_code)
@@ -314,7 +321,7 @@ def render_full_frame(
 
         ch, cw = head_crop
         occ_box = occupancy_aabb(occupancy, cfg.bound)
-        r0, c0, _ = head_crop_offset(rays_o, rays_d, occ_box, image_hw, head_crop, cfg.min_near)
+        r0, c0, crop_fits = head_crop_offset(rays_o, rays_d, occ_box, image_hw, head_crop, cfg.min_near)
         ro_c = jax.lax.dynamic_slice(rays_o.reshape(H, W, 3), (r0, c0, 0), (ch, cw, 3)).reshape(-1, 3)
         rd_c = jax.lax.dynamic_slice(rays_d.reshape(H, W, 3), (r0, c0, 0), (ch, cw, 3)).reshape(-1, 3)
         crop_out = render_rays(
@@ -435,4 +442,5 @@ def render_full_frame(
         weights_sum=weights_sum,
         torso_alpha=torso_alpha,
         torso_rgb=torso_rgb,
+        head_crop_fits=crop_fits,
     )

@@ -202,3 +202,28 @@ class PerceptualLoss:
         if self.arch == "vgg19":
             return self._loss(self.params, pred, gt)
         return self._loss(self.params, pred * 2 - 1, gt * 2 - 1)
+
+
+def perceptual_from_task_config(tcfg) -> PerceptualLoss:
+    """Perceptual loss from a task config's knobs (perceptual_arch /
+    vgg_weights_path / vggface_weights_path — config-driven analogue of the
+    reference's vgg19+vggface PerceptualLoss, losses.py:128-186).
+
+    A configured weights path implies arch='vgg19' and MUST resolve: a
+    missing file raises instead of silently training on the random-weight
+    surrogate (a quality regression that is otherwise invisible)."""
+    import os
+
+    arch = getattr(tcfg, "perceptual_arch", "small") or "small"
+    wp = getattr(tcfg, "vgg_weights_path", "") or None
+    fwp = getattr(tcfg, "vggface_weights_path", "") or None
+    if (wp or fwp) and arch != "vgg19":
+        arch = "vgg19"
+    for name, p in (("vgg_weights_path", wp), ("vggface_weights_path", fwp)):
+        if p and not os.path.exists(p):
+            raise FileNotFoundError(
+                f"{name}={p!r} configured but not found — refusing to fall "
+                f"back to the random-weight perceptual surrogate; convert "
+                f"weights with scripts/convert_vgg.py or unset the path")
+    return PerceptualLoss(seed=0, arch=arch, weights_path=wp,
+                          vggface_weights_path=fwp)

@@ -109,6 +109,9 @@ def main(argv=None):
             finetune_lips=cfg.get("finetune_lips", True),
             finetune_lips_start_iter=cfg.get("finetune_lips_start_iter", 200_000),
             sr_dtype=cfg.get("sr_dtype", "bfloat16"),
+            perceptual_arch=cfg.get("perceptual_arch", "small"),
+            vgg_weights_path=cfg.get("vgg_weights_path", ""),
+            vggface_weights_path=cfg.get("vggface_weights_path", ""),
         )
         task = SRHeadNeRFTask(dataset, RADNeRFConfig.from_hparams(cfg), tcfg, hp,
                               seed=cfg.get("seed", 9999))

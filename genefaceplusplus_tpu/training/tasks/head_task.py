@@ -43,6 +43,13 @@ class HeadTaskConfig:
     lip_window: int = 64  # static window side (reference uses the dynamic
     # lip_rect; a fixed window centred on it keeps shapes static under jit)
     lambda_lpips: float = 0.01
+    # perceptual backend (reference vgg19+vggface LPIPS, losses.py:128-186):
+    # "small" = random-weight surrogate; "vgg19" = the real tower. Setting a
+    # weights path implies vgg19 and a missing file FAILS instead of
+    # silently training on the surrogate (perceptual_from_task_config).
+    perceptual_arch: str = "small"
+    vgg_weights_path: str = ""  # msgpack from scripts/convert_vgg.py
+    vggface_weights_path: str = ""  # msgpack from scripts/convert_vgg.py --face
     # run the field as the fused Pallas kernel (fwd + custom-VJP bwd);
     # production flagship dims only (fused_field.py asserts them)
     use_fused_field: bool = False
@@ -60,6 +67,9 @@ class HeadTaskConfig:
             finetune_lips=get("finetune_lips", True),
             finetune_lips_start_iter=get("finetune_lips_start_iter", 200_000),
             lambda_lpips=get("lambda_lpips_loss", 0.01),
+            perceptual_arch=get("perceptual_arch", "small"),
+            vgg_weights_path=get("vgg_weights_path", ""),
+            vggface_weights_path=get("vggface_weights_path", ""),
         )
 
 
@@ -201,12 +211,12 @@ class HeadNeRFTask:
 
         from genefaceplusplus_tpu.models.renderer import render_rays
         from genefaceplusplus_tpu.training import losses as L
-        from genefaceplusplus_tpu.training.perceptual import PerceptualLoss
+        from genefaceplusplus_tpu.training.perceptual import perceptual_from_task_config
 
         model, tx, opts, cfg = self.model, self.tx, self.opts, self.cfg
         win = min(self.task_cfg.lip_window, self.dataset.H, self.dataset.W)
         lam = self.task_cfg.lambda_lpips
-        perceptual = PerceptualLoss(seed=0)
+        perceptual = perceptual_from_task_config(self.task_cfg)
 
         def loss_fn(params, batch, occupancy, noise):
             cond_feat = model.apply(params, batch["cond"], batch.get("eye_area_percent"),

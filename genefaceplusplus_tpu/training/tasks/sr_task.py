@@ -23,7 +23,7 @@ from genefaceplusplus_tpu.models.radnerf import RADNeRF, RADNeRFConfig
 from genefaceplusplus_tpu.models.renderer import render_rays
 from genefaceplusplus_tpu.models.superresolution import Superresolution
 from genefaceplusplus_tpu.training import losses as L
-from genefaceplusplus_tpu.training.perceptual import PerceptualLoss
+from genefaceplusplus_tpu.training.perceptual import perceptual_from_task_config
 from genefaceplusplus_tpu.training.tasks.head_task import HeadNeRFTask, HeadTaskConfig
 from genefaceplusplus_tpu.training.radnerf_task import TaskHParams
 from genefaceplusplus_tpu.utils.rays import pixel_rays
@@ -65,7 +65,7 @@ class SRHeadNeRFTask(HeadNeRFTask):
         self.sr_model = Superresolution(
             channels=3, input_resolution=dataset.H,
             dtype=jnp.bfloat16 if task_cfg.sr_dtype == "bfloat16" else jnp.float32)
-        self.perceptual = PerceptualLoss(seed=0)
+        self.perceptual = perceptual_from_task_config(task_cfg)
 
         # frozen dual discriminator for feature matching (optional,
         # radnerf_sr.py:112-123: loaded pretrained with strict=True and

@@ -256,6 +256,10 @@ def test_pipeline_crops_lossless_end_to_end(tmp_path):
     on = infer._build_chunk_fn(opts, H, H, C, head_crop=infer.head_crop,
                                torso_crop=infer.torso_crop, sr_crop=infer.sr_crop)
     off = infer._build_chunk_fn(opts, H, H, C)
-    a, b = np.asarray(on(*args)), np.asarray(off(*args))
+    imgs_on, fits_on = on(*args)
+    imgs_off, _ = off(*args)
+    a, b = np.asarray(imgs_on), np.asarray(imgs_off)
     assert a.shape == (C, 2 * H, 2 * H, 3)
+    # the auto crop is sized from the dataset poses, so they all fit
+    assert np.all(np.asarray(fits_on))
     np.testing.assert_allclose(a, b, atol=2e-5)

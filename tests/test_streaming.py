@@ -64,3 +64,63 @@ def test_stream_infer_no_audio_drift(infer):
     # every chunk consumes exactly T frames of audio; the tail (<1 block) is
     # dropped, so 25*secs - n < one chunk's frame count
     assert 25 * secs - 50 <= n <= 25 * secs, n
+
+
+def test_stream_infer_multichip_matches_single(infer):
+    """stream_infer(mesh=...) must be live (not a dead arg): with rays
+    sharded over an 8-virtual-device mesh, the streamed uint8 frames equal
+    the single-device output bit-for-bit up to float reduction order
+    (uint8 quantisation absorbs <1e-3 float diffs)."""
+    import jax
+
+    from genefaceplusplus_tpu.parallel.mesh import make_mesh
+
+    assert jax.device_count() >= 8, "conftest must provide 8 virtual devices"
+    rng = np.random.RandomState(2)
+    sr = 16000
+    wav = (0.3 * np.sin(2 * np.pi * 160 * np.arange(sr * 2) / sr)).astype(np.float32)
+    hubert_full = rng.randn(2 * 50 + 16, 64).astype(np.float32)
+    inp = {"hubert_full": hubert_full, "blink_mode": "none", "lle_percent": 0.0,
+           "temperature": 0.0}
+
+    single = list(stream_infer(infer, wav, dict(inp), chunk_seconds=1.0))
+    sharded = list(stream_infer(infer, wav, dict(inp), chunk_seconds=1.0,
+                                mesh=make_mesh(8)))
+    assert len(single) == len(sharded) > 0
+    for a, b in zip(single, sharded):
+        # identical up to +/-1 uint8 step from reduction-order float noise
+        assert np.max(np.abs(a.astype(np.int16) - b.astype(np.int16))) <= 1
+
+
+def test_chunk_fn_multichip_with_head_crop(infer):
+    """The sharded chunk fn must also compile + match with the head-crop
+    path active (dynamic_slice of the sharded ray grid under SPMD)."""
+    import jax
+    import jax.numpy as jnp
+
+    from genefaceplusplus_tpu.models.renderer import RenderOptions
+    from genefaceplusplus_tpu.parallel.mesh import make_mesh
+    from genefaceplusplus_tpu.utils.rays import get_bg_coords
+
+    assert jax.device_count() >= 8
+    ds = infer.dataset
+    H, W = ds.H, ds.W
+    opts = RenderOptions(num_coarse=16, num_samples=8)
+    kw = dict(head_crop=(16, 16), out_dtype="uint8")
+    fn1 = infer._build_chunk_fn(opts, H, W, 2, **kw)
+    fn8 = infer._build_chunk_fn(opts, H, W, 2, mesh=make_mesh(8), **kw)
+
+    poses = jnp.asarray(np.stack([ds.frame_pose(i) for i in (0, 1)]))
+    rays_o, rays_d, _ = infer._jit_rays(poses, tuple(ds.intrinsics), H, W)
+    conds = jnp.asarray(np.stack([ds.frame_cond_window(i) for i in (0, 1)]))
+    eye = jnp.full((2, 1, 1), 0.25)
+    bg_color = jnp.asarray(ds.bg_img.reshape(-1, 3))
+    bg_coords = get_bg_coords(H, W)[0]
+    lm68 = jnp.zeros((2, 1, 68, 2))
+    args = (infer.head_params, None, None, rays_o, rays_d, conds, eye,
+            infer.occupancy, bg_color, bg_coords, lm68)
+    imgs1, fits1 = fn1(*args)
+    imgs8, fits8 = fn8(*args)
+    assert np.array_equal(np.asarray(fits1), np.asarray(fits8))
+    assert np.max(np.abs(np.asarray(imgs1).astype(np.int16)
+                         - np.asarray(imgs8).astype(np.int16))) <= 1
