@@ -81,46 +81,45 @@ def compute_color(texture: np.ndarray, normals: np.ndarray,
     return shading * np.asarray(texture, np.float32)
 
 
-def rasterize_mesh(
-    vertices_cam: np.ndarray,  # [N, 3], camera space, +z away from camera
+def rasterize_projected(
+    pts: np.ndarray,  # [N, 2] pixel coords (x=col, y=row)
+    z: np.ndarray,  # [N] positive camera depth per vertex
     faces: np.ndarray,  # [F, 3] int
     attrs: np.ndarray,  # [N, C] per-vertex attributes (e.g. color)
-    size: int = 224,
-    focal: float = 1015.0,
-    center: float = 112.0,
+    H: int,
+    W: int,
     patch: int = 16,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Perspective-project + z-buffer rasterise with barycentric attribute
-    interpolation. Vectorised over faces: each face rasterises a fixed
-    patch×patch pixel window around its bbox (BFM triangles are a few px at
-    224-512 render sizes), far-to-near painter's assignment resolves depth.
+    """Z-buffer rasterise already-projected vertices with perspective-correct
+    barycentric attribute interpolation. Vectorised over faces: each face
+    rasterises a fixed patch×patch pixel window around its bbox (triangles
+    are a few px at 224-512 render sizes), far-to-near painter's assignment
+    resolves depth. Projection-agnostic core shared by rasterize_mesh (BFM
+    convention) and data/synthetic_face.py (the NeRF pixel_rays pinhole).
 
-    Returns (mask [S,S] bool, depth [S,S] f32 (+inf empty), image [S,S,C]).
+    Returns (mask [H,W] bool, depth [H,W] f32 (+inf empty), image [H,W,C]).
     """
-    v = np.asarray(vertices_cam, np.float32)
+    pts = np.asarray(pts, np.float32)
+    z = np.asarray(z, np.float32)
     f = np.asarray(faces, np.int64)
-    z = np.maximum(v[:, 2], 1e-4)
-    sx = (v[:, 0] * focal / z + center) * (size / (2.0 * center))
-    sy = (size - 1.0) - (v[:, 1] * focal / z + center) * (size / (2.0 * center))
-    pts = np.stack([sx, sy], -1)  # [N, 2] pixel coords
-
     tri = pts[f]  # [F, 3, 2]
-    tz = z[f]  # [F, 3]
+    tz = np.maximum(z[f], 1e-4)  # [F, 3]
     ta = np.asarray(attrs, np.float32)[f]  # [F, 3, C]
 
-    # cull: degenerate / fully offscreen faces
+    # cull: degenerate / fully offscreen / behind-camera faces
     x0 = np.floor(tri[..., 0].min(1)).astype(np.int64)
     y0 = np.floor(tri[..., 1].min(1)).astype(np.int64)
     x1 = np.ceil(tri[..., 0].max(1)).astype(np.int64)
     y1 = np.ceil(tri[..., 1].max(1)).astype(np.int64)
-    keep = (x1 >= 0) & (y1 >= 0) & (x0 < size) & (y0 < size)
+    keep = (x1 >= 0) & (y1 >= 0) & (x0 < W) & (y0 < H)
     keep &= (x1 - x0 <= patch) & (y1 - y0 <= patch)  # window cap
+    keep &= (z[f] > 1e-4).all(1)
     tri, tz, ta, x0, y0 = tri[keep], tz[keep], ta[keep], x0[keep], y0[keep]
     F = len(tri)
     C = ta.shape[-1]
-    mask = np.zeros((size, size), bool)
-    depth = np.full((size, size), np.inf, np.float32)
-    img = np.zeros((size, size, C), np.float32)
+    mask = np.zeros((H, W), bool)
+    depth = np.full((H, W), np.inf, np.float32)
+    img = np.zeros((H, W, C), np.float32)
     if F == 0:
         return mask, depth, img
 
@@ -141,7 +140,7 @@ def rasterize_mesh(
     l2 = ((cy - ay)[:, None] * (pxf - cx[:, None]) + (ax - cx)[:, None] * (pyf - cy[:, None])) / det[:, None]
     l3 = 1.0 - l1 - l2
     inside = (l1 >= -1e-5) & (l2 >= -1e-5) & (l3 >= -1e-5)
-    inside &= (px >= 0) & (px < size) & (py >= 0) & (py < size)
+    inside &= (px >= 0) & (px < W) & (py >= 0) & (py < H)
 
     # perspective-correct interpolation of z and attributes
     w1, w2, w3 = l1 / tz[:, :1], l2 / tz[:, 1:2], l3 / tz[:, 2:]
@@ -159,6 +158,25 @@ def rasterize_mesh(
     depth[yy, xx] = pz[fi, pi]
     mask[yy, xx] = True
     return mask, depth, img
+
+
+def rasterize_mesh(
+    vertices_cam: np.ndarray,  # [N, 3], camera space, +z away from camera
+    faces: np.ndarray,  # [F, 3] int
+    attrs: np.ndarray,  # [N, C] per-vertex attributes (e.g. color)
+    size: int = 224,
+    focal: float = 1015.0,
+    center: float = 112.0,
+    patch: int = 16,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Perspective-project (BFM camera convention, y up) + z-buffer
+    rasterise. Returns (mask [S,S] bool, depth [S,S], image [S,S,C])."""
+    v = np.asarray(vertices_cam, np.float32)
+    z = np.maximum(v[:, 2], 1e-4)
+    sx = (v[:, 0] * focal / z + center) * (size / (2.0 * center))
+    sy = (size - 1.0) - (v[:, 1] * focal / z + center) * (size / (2.0 * center))
+    pts = np.stack([sx, sy], -1)  # [N, 2] pixel coords
+    return rasterize_projected(pts, z, faces, attrs, size, size, patch=patch)
 
 
 class SECCRenderer:

@@ -151,13 +151,21 @@ class RADNeRFDataset:
             _, old = self._img_cache.popitem(last=False)
             self._img_cache_bytes -= old.nbytes
 
-    def load_image(self, i: int, kind: str = "gt", with_alpha: bool = False) -> Optional[np.ndarray]:
+    def load_image(self, i: int, kind: str = "gt", with_alpha: bool = False,
+                   full_res: bool = False) -> Optional[np.ndarray]:
         """Load gt/head/torso image for frame i as float [H, W, 3] in [0,1]
         (or [H, W, 4] with `with_alpha` when the stored image has alpha).
-        Decoded+resized frames are LRU-cached as uint8 (img_cache_mb cap)."""
+        Decoded+resized frames are LRU-cached as uint8 (img_cache_mb cap).
+
+        full_res=True returns the image at its STORED resolution (ds['H'])
+        instead of the render resolution — the SR task's 2x ground truth
+        (the reference keeps gt_img at 512 and only downsamples the raw-NeRF
+        target, dataset_utils.py:187-190)."""
         import cv2
 
-        key = (i, kind)
+        target_h = int(self.ds["H"]) if full_res else self.H
+        target_w = int(self.ds["W"]) if full_res else self.W
+        key = (i, kind, full_res)
         cached = self._img_cache.get(key)
         if cached is not None:
             self._img_cache.move_to_end(key)
@@ -180,8 +188,8 @@ class RADNeRFDataset:
                 img = cv2.cvtColor(raw, cv2.COLOR_BGR2RGB).astype(np.float32)
         if img.max() > 1.5:
             img = img / 255.0
-        if img.shape[0] != self.H:
-            img = cv2.resize(img, (self.W, self.H))
+        if img.shape[0] != target_h:
+            img = cv2.resize(img, (target_w, target_h))
         u8 = np.clip(np.round(img * 255.0), 0, 255).astype(np.uint8)
         self._cache_put(key, u8)
         img = u8.astype(np.float32) / 255.0  # first access == cached access

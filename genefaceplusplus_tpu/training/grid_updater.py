@@ -54,10 +54,17 @@ def update_density_grid(
     pts = pts * (bound - half) + jitter
 
     n = pts.shape[0]
-    sigmas = []
-    for i in range(0, n, chunk):
-        sigmas.append(density_fn(pts[i : i + chunk]))
-    tmp = jnp.concatenate(sigmas).reshape(H, H, H)
+    if n > chunk:
+        # lax.map over fixed-size chunks: peak activation memory is bounded
+        # by one chunk, and the whole sweep is a single scan dispatch
+        # (jittable; eager it is still one compiled loop, not n/chunk
+        # round-trips through the device tunnel)
+        n_chunks = -(-n // chunk)
+        pts_p = jnp.pad(pts, ((0, n_chunks * chunk - n), (0, 0)))
+        sigmas = jax.lax.map(density_fn, pts_p.reshape(n_chunks, chunk, 3))
+        tmp = sigmas.reshape(-1)[:n].reshape(H, H, H)
+    else:
+        tmp = density_fn(pts).reshape(H, H, H)
 
     tmp = dilate6(tmp[None])[0]
     valid = (density_grid >= 0) & (tmp >= 0)
@@ -73,20 +80,37 @@ def mark_untrained_grid(
     poses: np.ndarray,  # [B, 4, 4] ngp c2w
     intrinsics,  # (fx, fy, cx, cy)
     bound: float = 1.0,
+    chunk: int = 32768,
 ) -> jnp.ndarray:
-    """Cells outside every training camera frustum -> -1 (renderer.py:131-199)."""
+    """Cells outside every training camera frustum -> -1 (renderer.py:131-199).
+
+    Chunked over cells with lax.map: the naive [B poses, H^3 cells, 3]
+    broadcast is ~10 GB at B=400/H=128; per-chunk it is B*chunk*3 floats
+    (~160 MB) and the sweep is one scan dispatch."""
     H = density_grid.shape[0]
     fx, fy, cx, cy = intrinsics
     pts = grid_cell_centers(H) * (bound - bound / H)  # [N, 3]
     poses = jnp.asarray(poses, jnp.float32)
-    # world -> cam: (p - t) @ R   (c2w rotation transposed twice, renderer.py:181-183)
-    cam = (pts[None, :, :] - poses[:, None, :3, 3]) @ poses[:, :3, :3]  # [B, N, 3]
     half = bound / H
-    mask_z = cam[..., 2] > 0
-    mask_x = jnp.abs(cam[..., 0]) < cx / fx * cam[..., 2] + half * 2
-    mask_y = jnp.abs(cam[..., 1]) < cy / fy * cam[..., 2] + half * 2
-    seen = (mask_z & mask_x & mask_y).any(axis=0).reshape(H, H, H)
-    return jnp.where(seen, density_grid, -1.0)
+
+    def seen_chunk(p):  # [chunk, 3] -> [chunk] bool
+        # world -> cam: (p - t) @ R (c2w rotation transposed twice,
+        # renderer.py:181-183)
+        cam = (p[None, :, :] - poses[:, None, :3, 3]) @ poses[:, :3, :3]
+        mask_z = cam[..., 2] > 0
+        mask_x = jnp.abs(cam[..., 0]) < cx / fx * cam[..., 2] + half * 2
+        mask_y = jnp.abs(cam[..., 1]) < cy / fy * cam[..., 2] + half * 2
+        return (mask_z & mask_x & mask_y).any(axis=0)
+
+    n = pts.shape[0]
+    if n > chunk:
+        n_chunks = -(-n // chunk)
+        pts_p = jnp.pad(pts, ((0, n_chunks * chunk - n), (0, 0)))
+        seen = jax.lax.map(seen_chunk, pts_p.reshape(n_chunks, chunk, 3))
+        seen = seen.reshape(-1)[:n]
+    else:
+        seen = seen_chunk(pts)
+    return jnp.where(seen.reshape(H, H, H), density_grid, -1.0)
 
 
 def update_torso_grid(

@@ -75,12 +75,16 @@ def main(argv=None):
     elif kind == "a2m":
         from genefaceplusplus_tpu.training.tasks.a2m_task import A2MTask, A2MTaskConfig
 
+        target = cfg.get("a2m_target", "exp")
         task = A2MTask(dataset, A2MTaskConfig(
             lr=cfg.get("lr", 5e-4), lambda_kl=cfg.get("lambda_kl", 0.02),
             kl_anneal_steps=cfg.get("kl_anneal_steps", 20000),
             seq_len=cfg.get("seq_len", 64), batch_size=cfg.get("batch_size", 8),
             use_pitch=cfg.get("use_pitch", True),
             audio_in_dim=cfg.get("audio_in_dim", 1024),
+            target=target,
+            in_out_dim=cfg.get("a2m_in_out_dim",
+                               204 if target == "idexp_lm3d" else 64),
         ), seed=cfg.get("seed", 9999))
     elif kind == "postnet":
         from genefaceplusplus_tpu.training.tasks.postnet_task import (
@@ -120,6 +124,19 @@ def main(argv=None):
             dataset, RADNeRFConfig.from_hparams(cfg),
             HeadTaskConfig.from_hparams(cfg), hp, seed=cfg.get("seed", 9999),
         )
+
+    # held-out validation split (1/11, binarizer_nerf.py:279-282)
+    try:
+        task.val_dataset = RADNeRFDataset(
+            ds_path, split="val",
+            camera_scale=cfg.get("camera_scale", 4.0),
+            camera_offset=tuple(cfg.get("camera_offset", (0.0, 0.0, 0.0))),
+            cond_win_size=cfg.get("cond_win_size", 1),
+            smo_win_size=cfg.get("smo_win_size", 3),
+            with_sr=cfg.get("with_sr", True),
+        )
+    except (KeyError, IndexError):
+        pass  # dataset without a val split
 
     trainer = Trainer(
         task, work_dir, config=cfg,

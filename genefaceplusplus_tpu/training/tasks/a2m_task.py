@@ -49,6 +49,10 @@ class A2MTaskConfig:
     dec_n_layers: int = 4
     flow_hidden: int = 64
     flow_n_blocks: int = 4
+    # prediction target: "exp" (reference motion_type, 64-d 3DMM coeffs) or
+    # "idexp_lm3d" (204-d landmark space — enables a direct LMD val metric;
+    # in_out_dim must match: 64 / 204)
+    target: str = "exp"
 
 
 class A2MTask:
@@ -70,8 +74,17 @@ class A2MTask:
         ds = dataset.ds
         self.hubert = np.asarray(ds["hubert"], np.float32)
         self.f0 = np.asarray(ds["f0"], np.float32)
-        self.exp = np.asarray(ds["exp"], np.float32)
+        self.exp = np.asarray(ds[cfg.target], np.float32)
+        assert self.exp.shape[-1] == cfg.in_out_dim, (
+            f"target {cfg.target} is {self.exp.shape[-1]}-d but in_out_dim="
+            f"{cfg.in_out_dim}")
         self.T = min(len(self.hubert) // 2, len(self.exp))
+        # held-out temporal split: last 1/11 of the timeline, mirroring the
+        # binarizer's frame split (binarizer_nerf.py:279-282). Training
+        # windows never start inside it; validate() slides over it.
+        self.T_val = max(cfg.seq_len, self.T // 11) if self.T > 2 * cfg.seq_len else 0
+        self.T_train = self.T - self.T_val
+        self._val_fns = None
 
     def create_state(self) -> A2MTrainState:
         batch = self._dummy_batch()
@@ -130,7 +143,7 @@ class A2MTask:
     def sample_train_batch(self) -> Dict:
         c = self.cfg
         L = c.seq_len
-        starts = self.np_rng.randint(0, max(1, self.T - L), size=c.batch_size)
+        starts = self.np_rng.randint(0, max(1, self.T_train - L), size=c.batch_size)
         audio = np.stack([self.hubert[2 * s : 2 * (s + L)] for s in starts])
         f0 = np.stack([self.f0[2 * s : 2 * (s + L)] for s in starts])
         y = np.stack([self.exp[s : s + L] for s in starts])
@@ -147,8 +160,65 @@ class A2MTask:
     def update_extra_state(self, state):
         pass
 
-    def validate(self, state, max_frames: int = 0):
-        return {}
+    def _build_val_fns(self):
+        model = self.model
+
+        def recon_fn(variables, batch):
+            # posterior path (encoder -> decoder) on held-out audio+motion;
+            # BN in batch mode, mutations discarded (pure metric)
+            (recon, aux), _ = model.apply(variables, batch, train=True,
+                                          rng=jax.random.PRNGKey(0),
+                                          mutable=["batch_stats"])
+            return recon, aux["loss_kl"]
+
+        def gen_fn(variables, batch):
+            # inference path: z_p ~ N(0, T) with temperature 0 -> the
+            # deterministic prior mode through the inverse flow
+            recon, _ = model.apply(variables, batch, train=False,
+                                   temperature=0.0, rng=jax.random.PRNGKey(0))
+            return recon
+
+        self._val_fns = (jax.jit(recon_fn), jax.jit(gen_fn))
+
+    def validate(self, state, max_frames: int = 0, save_dir: str = ""):
+        """Held-out metrics on the last-1/11 temporal split (never sampled
+        by training): posterior reconstruction MSE, deterministic
+        prior-sample L1, and — when the target is landmark space — LMD
+        (mean 3D landmark distance, the BASELINE.md north-star metric;
+        idexp_lm3d stores landmarks x10 so distances divide by 10)."""
+        if self.T_val == 0:
+            return {}
+        if self._val_fns is None:
+            self._build_val_fns()
+        recon_fn, gen_fn = self._val_fns
+        c = self.cfg
+        L = c.seq_len
+        starts = list(range(self.T_train, self.T - L + 1, L)) or [self.T - L]
+        mses, gen_l1s, lmds, kls = [], [], [], []
+        for s in starts:
+            batch = {
+                "audio": jnp.asarray(self.hubert[2 * s : 2 * (s + L)][None]),
+                "f0": jnp.asarray(self.f0[2 * s : 2 * (s + L)][None]),
+                "y_mask": jnp.ones((1, L)),
+                "y": jnp.asarray(self.exp[s : s + L][None]),
+            }
+            recon, kl = recon_fn(state.variables, batch)
+            gen = gen_fn(state.variables, batch)
+            gt = batch["y"]
+            mses.append(float(jnp.mean((recon - gt) ** 2)))
+            gen_l1s.append(float(jnp.mean(jnp.abs(gen - gt))))
+            kls.append(float(kl))
+            if c.target == "idexp_lm3d":
+                d = (gen.reshape(1, L, 68, 3) - gt.reshape(1, L, 68, 3)) / 10.0
+                lmds.append(float(jnp.mean(jnp.linalg.norm(d, axis=-1))))
+        out = {
+            "val_recon_mse": float(np.mean(mses)),
+            "val_gen_l1": float(np.mean(gen_l1s)),
+            "val_kl": float(np.mean(kls)),
+        }
+        if lmds:
+            out["val_lmd"] = float(np.mean(lmds))
+        return out
 
     def extra_state_dict(self):
         return {}

@@ -83,6 +83,9 @@ class HeadNeRFTask:
         seed: int = 9999,
     ):
         self.dataset = dataset
+        # optional held-out split: validate() prefers it over the training
+        # set (the reference's 1/11 val split, binarizer_nerf.py:279-282)
+        self.val_dataset = None
         self.cfg = model_cfg
         self.task_cfg = task_cfg
         self.hp = hp
@@ -111,6 +114,7 @@ class HeadNeRFTask:
         self.occupancy = jnp.ones((H, H, H), dtype=bool)
         self.mean_density = 0.0
         self._grid_rng = jax.random.PRNGKey(seed + 1)
+        self._jit_grid_refresh = None  # compiled lazily (params structure)
 
         self.grid_telemetry: Dict[str, float] = {}
         # precompute per-frame face masks lazily
@@ -269,18 +273,27 @@ class HeadNeRFTask:
         ds = self.dataset
         idx = int(self.np_rng.randint(len(ds)))
         cond = jnp.asarray(ds.frame_cond_window(idx))
-        params = state.params
 
-        cond_feat = self.model.apply(params, cond, method=RADNeRF.cal_cond_feat)
+        if self._jit_grid_refresh is None:
+            model, cfg, task_cfg = self.model, self.cfg, self.task_cfg
 
-        def density_fn(pts):
-            return self.model.apply(params, pts, cond_feat, method=RADNeRF.density)
+            def refresh(params, cond, grid, rng):
+                cond_feat = model.apply(params, cond, method=RADNeRF.cal_cond_feat)
+
+                def density_fn(pts):
+                    return model.apply(params, pts, cond_feat, method=RADNeRF.density)
+
+                return update_density_grid(
+                    density_fn, grid, rng,
+                    bound=cfg.bound, decay=task_cfg.grid_decay,
+                    density_thresh=cfg.density_thresh,
+                )
+
+            self._jit_grid_refresh = jax.jit(refresh)
 
         self._grid_rng, sub = jax.random.split(self._grid_rng)
-        self.density_grid, self.occupancy, mean_d = update_density_grid(
-            density_fn, self.density_grid, sub,
-            bound=self.cfg.bound, decay=self.task_cfg.grid_decay,
-            density_thresh=self.cfg.density_thresh,
+        self.density_grid, self.occupancy, mean_d = self._jit_grid_refresh(
+            state.params, cond, self.density_grid, sub
         )
         self.mean_density = float(mean_d)
         # telemetry (reference density_grid_info, radnerf.py:203-212)
@@ -295,7 +308,7 @@ class HeadNeRFTask:
         """Full-image renders on val frames -> PSNR (radnerf.py:199-200);
         renders saved to <save_dir>/validation_results when given (mirrors
         the reference's periodic validation figures, radnerf.py:234-281)."""
-        ds_val = self.dataset  # caller may pass a val split dataset
+        ds_val = self.val_dataset if self.val_dataset is not None else self.dataset
         from genefaceplusplus_tpu.utils.rays import pixel_rays
 
         psnrs = []

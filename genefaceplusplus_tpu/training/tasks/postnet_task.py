@@ -59,6 +59,12 @@ class PostnetTask:
         self.model = PitchContourCNNPostNet(
             out_dim=cfg.out_dim, hidden=cfg.hidden, n_layers=cfg.n_layers
         )
+        # held-out temporal split (last 1/11, binarizer_nerf.py:279-282):
+        # training windows never start inside it; validate() covers it
+        T = len(np.asarray(dataset.ds["idexp_lm3d"]))
+        self.T = T
+        self.T_val = max(cfg.seq_len, T // 11) if T > 2 * cfg.seq_len else 0
+        self.T_train = T - self.T_val
         self.tx = optax.adam(cfg.lr)
         self.np_rng = np.random.RandomState(seed)
         self.seed = seed
@@ -115,7 +121,7 @@ class PostnetTask:
         cfg = self.cfg
         lm = np.asarray(ds.ds["idexp_lm3d"], np.float32)  # [T, 204]
         f0 = np.asarray(ds.ds["f0"], np.float32)  # [2T]
-        T = len(lm)
+        T = self.T_train if self.T_val else len(lm)
         L = min(cfg.seq_len, T)
         gts, raws, pitches = [], [], []
         for _ in range(cfg.batch_size):
@@ -143,12 +149,39 @@ class PostnetTask:
         pass
 
     def validate(self, state, max_frames: int = 0, save_dir: str = ""):
-        """Refinement gain on a fresh batch: postnet L1 vs identity L1."""
-        batch = self.sample_train_batch()
-        refined = self.model.apply(state.params, batch["raw"], batch["pitch"])
-        l1_post = float(jnp.abs(refined - batch["gt"]).mean())
-        l1_raw = float(jnp.abs(batch["raw"] - batch["gt"]).mean())
-        return {"val_l1_refined": l1_post, "val_l1_raw": l1_raw}
+        """Refinement gain on the HELD-OUT split (last 1/11, disjoint from
+        every training window): postnet L1 vs identity L1, deterministic
+        (fixed noise seed / a2m rng) so the metric is comparable across
+        steps. Empty when the sequence is too short to hold out."""
+        if self.T_val == 0:
+            return {}
+        ds, cfg = self.dataset, self.cfg
+        lm = np.asarray(ds.ds["idexp_lm3d"], np.float32)
+        f0 = np.asarray(ds.ds["f0"], np.float32)
+        L = cfg.seq_len
+        starts = list(range(self.T_train, self.T - L + 1, L)) or [self.T - L]
+        val_rng = np.random.RandomState(1234)
+        l1_post, l1_raw, lmds = [], [], []
+        for s in starts:
+            gt = lm[s : s + L]
+            if self.predict_fn is not None:
+                hubert = np.asarray(ds.ds["hubert"], np.float32)[2 * s : 2 * (s + L)]
+                raw = np.asarray(self.predict_fn(hubert, f0[2 * s : 2 * (s + L)], 1234))
+            else:
+                saved = self.np_rng
+                self.np_rng = val_rng
+                raw = gt + self._smooth_noise(gt.shape)
+                self.np_rng = saved
+            pitch = f0[2 * s : 2 * (s + L), None] / 400.0
+            refined = self.model.apply(state.params, jnp.asarray(raw[None]),
+                                       jnp.asarray(pitch[None]))
+            l1_post.append(float(jnp.abs(refined - gt[None]).mean()))
+            l1_raw.append(float(np.abs(raw - gt).mean()))
+            d = (np.asarray(refined).reshape(L, 68, 3) - gt.reshape(L, 68, 3)) / 10.0
+            lmds.append(float(np.mean(np.linalg.norm(d, axis=-1))))
+        return {"val_l1_refined": float(np.mean(l1_post)),
+                "val_l1_raw": float(np.mean(l1_raw)),
+                "val_lmd": float(np.mean(lmds))}
 
     def extra_state_dict(self):
         return {}

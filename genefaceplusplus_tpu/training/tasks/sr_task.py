@@ -211,9 +211,15 @@ class SRHeadNeRFTask(HeadNeRFTask):
         gt = ds.load_image(idx, "gt")
         if gt is None:
             gt = ds.bg_img
-        import cv2
+        # SR trains against the ORIGINAL full-resolution image when stored
+        # at 2x (the reference's gt_img stays 512 while the raw target is
+        # downsampled, dataset_utils.py:187-190); upsampling the 256 gt
+        # would erase exactly the high-frequency detail SR must learn
+        gt2x = ds.load_image(idx, "gt", full_res=True)
+        if gt2x is None or gt2x.shape[0] != 2 * H:
+            import cv2
 
-        gt2x = cv2.resize(np.asarray(gt), (2 * W, 2 * H))
+            gt2x = cv2.resize(np.asarray(gt), (2 * W, 2 * H))
         camera = np.zeros((1, 25), np.float32)
         if self.disc_model is not None:
             from genefaceplusplus_tpu.data.eg3d_convention import eg3d_camera_from_euler_trans
@@ -256,12 +262,65 @@ class SRHeadNeRFTask(HeadNeRFTask):
         return self._train_step(state, batch, self.occupancy, use_sr=use_sr, use_lpips=use_lpips)
 
     def validate(self, state, max_frames: int = 2, save_dir: str = ""):
-        """Delegate to the head validate with the head param sub-tree."""
+        """Head validate (raw-res val_psnr) + SR validate: render raw val
+        frames, super-resolve, PSNR against the FULL-resolution gt — the
+        512² number the reference's deliverable is judged on."""
         class _Shim:
             params = state.params["head"]
             global_step = state.global_step
 
-        return super().validate(_Shim, max_frames=max_frames, save_dir=save_dir)
+        metrics = super().validate(_Shim, max_frames=max_frames, save_dir=save_dir)
+        ds = self.val_dataset if self.val_dataset is not None else self.dataset
+        H, W = ds.H, ds.W
+        sr_psnrs = []
+        if not hasattr(self, "_jit_val_sr"):
+            model, sr_model, cfg = self.model, self.sr_model, self.cfg
+            opts = dataclasses.replace(self.opts, perturb=False)
+
+            def val_fn(params, rays_o, rays_d, cond, eye, occupancy, bg_color):
+                cond_feat = model.apply(params["head"], cond, eye,
+                                        method=RADNeRF.cal_cond_feat)
+                ind = model.apply(params["head"], 0, method=RADNeRF.get_individual_code)
+
+                def field_fn(xyz, dirs):
+                    return model.apply(params["head"], xyz, dirs, cond_feat, ind,
+                                       method=RADNeRF.field)
+
+                out = render_rays(field_fn, rays_o, rays_d, occupancy,
+                                  bound=cfg.bound, min_near=cfg.min_near,
+                                  bg_color=bg_color, opts=opts)
+                raw = out.rgb_map.reshape(1, H, W, 3)
+                return jnp.clip(sr_model.apply(params["sr"], raw), 0.0, 1.0)[0]
+
+            self._jit_val_sr = jax.jit(val_fn)
+        for i in range(min(max_frames, len(ds))):
+            gt2x = ds.load_image(i, "gt", full_res=True)
+            if gt2x is None or gt2x.shape[0] != 2 * H:
+                continue
+            pose = jnp.asarray(ds.frame_pose(i)[None])
+            rays_o, rays_d, _ = pixel_rays(pose, ds.intrinsics, H, W)
+            sr = self._jit_val_sr(
+                state.params, rays_o[0], rays_d[0],
+                jnp.asarray(ds.frame_cond_window(i)),
+                jnp.asarray(ds.eye_area_percents[i : i + 1]),
+                self.occupancy, jnp.asarray(ds.bg_img.reshape(-1, 3)),
+            )
+            mse = float(np.mean((np.asarray(sr) - gt2x) ** 2))
+            sr_psnrs.append(-10.0 * np.log10(max(mse, 1e-10)))
+            if save_dir:
+                import os
+
+                import cv2
+
+                vdir = os.path.join(save_dir, "validation_results")
+                os.makedirs(vdir, exist_ok=True)
+                cv2.imwrite(
+                    os.path.join(vdir, f"val_sr_{int(state.global_step)}_{i}.png"),
+                    cv2.cvtColor((np.asarray(sr) * 255).astype(np.uint8),
+                                 cv2.COLOR_RGB2BGR))
+        if sr_psnrs:
+            metrics["val_sr_psnr"] = float(np.mean(sr_psnrs))
+        return metrics
 
     def update_extra_state(self, state):
         # delegate with the head sub-tree; the parent also reads global_step

@@ -65,6 +65,7 @@ class TorsoNeRFTask:
         self.mean_density_torso = 0.0
         self._grid_rng = jax.random.PRNGKey(seed + 2)
         self._train_step = jax.jit(self._make_step())
+        self._jit_torso_refresh = None  # compiled lazily (params structure)
 
     def _load_head(self, head_dir: str):
         cond = jnp.zeros((self.head_cfg.smo_win_size, self.head_cfg.cond_win_size, self.head_cfg.cond_in_dim))
@@ -197,14 +198,25 @@ class TorsoNeRFTask:
         ds = self.dataset
         idx = int(self.np_rng.randint(len(ds)))
         lm = jnp.asarray(self._frame_lm68(idx), jnp.float32)
-        ind = self.torso_model.apply(state.torso_params, 0, method=TorsoField.get_individual_code)
 
-        def alpha_fn(pts):
-            out = self.torso_model.apply(state.torso_params, pts, lm, ind, None, None)
-            return out.alpha[:, 0]
+        if self._jit_torso_refresh is None:
+            torso_model = self.torso_model
+
+            def refresh(torso_params, lm, grid, rng):
+                ind = torso_model.apply(torso_params, 0,
+                                        method=TorsoField.get_individual_code)
+
+                def alpha_fn(pts):
+                    out = torso_model.apply(torso_params, pts, lm, ind, None, None)
+                    return out.alpha[:, 0]
+
+                return update_torso_grid(alpha_fn, grid, rng)
+
+            self._jit_torso_refresh = jax.jit(refresh)
 
         self._grid_rng, sub = jax.random.split(self._grid_rng)
-        self.torso_grid, mean_t = update_torso_grid(alpha_fn, self.torso_grid, sub)
+        self.torso_grid, mean_t = self._jit_torso_refresh(
+            state.torso_params, lm, self.torso_grid, sub)
         self.mean_density_torso = float(mean_t)
 
     def validate(self, state, max_frames: int = 2, save_dir: str = "") -> Dict[str, float]:

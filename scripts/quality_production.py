@@ -1,0 +1,356 @@
+"""Production-scale quality parity on the synthetic identity.
+
+Runs the flagship operating point — 256² head render + 2× StyleGAN2 SR ->
+512², full 65536-ray full-frame steps, staged lip/perceptual schedule — on
+the textured deforming synthetic face (data/synthetic_face.py), for both
+the TPU-native Fourier field and the reference-parity tiledgrid encoder at
+EQUAL step budget, and reports PSNR (raw + 512² SR) and LMD curves plus a
+rendered validation clip (docs/QUALITY_PARITY.md round-3 evidence; VERDICT
+round-2 item 1).
+
+LMD instrument: the real metric runs a landmark detector on rendered
+frames. No pretrained detector ships in this image, so `lmd` trains a
+small conv regressor on the identity's GT frames (augmented), reports its
+own error on held-out GT as the noise floor, and `eval` applies it to the
+NeRF renders — landmark distance in 512-scale pixels.
+
+Stages (each resumable / independent):
+  python scripts/quality_production.py gen     [--frames 450]
+  python scripts/quality_production.py measure                 # step timing
+  python scripts/quality_production.py train --variant fourier --steps 50000
+  python scripts/quality_production.py lmd                     # detector (CPU ok)
+  python scripts/quality_production.py eval  --variant fourier # PSNR+LMD+clip
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+DATA_DIR = os.environ.get("SYNTH_DATA_DIR", "/tmp/gfpp_synth")
+DATA = os.path.join(DATA_DIR, "synth512", "trainval_dataset.npy")
+DETECTOR = os.path.join(DATA_DIR, "lmd_detector.msgpack")
+WORKROOT = os.environ.get("SYNTH_WORKROOT", "checkpoints")
+
+
+def workdir(variant: str) -> str:
+    return os.path.join(WORKROOT, f"synth512_{variant}")
+
+
+# ---------------------------------------------------------------- dataset
+def stage_gen(args):
+    from genefaceplusplus_tpu.data.synthetic_face import cached_synthetic_face
+
+    t0 = time.time()
+    path = cached_synthetic_face(DATA, num_frames=args.frames, size=512)
+    print(f"| dataset at {path} ({time.time() - t0:.1f}s)")
+
+
+def _load_datasets():
+    from genefaceplusplus_tpu.data.dataset import RADNeRFDataset
+
+    tr = RADNeRFDataset(DATA, split="train", smo_win_size=3, with_sr=True)
+    va = RADNeRFDataset(DATA, split="val", smo_win_size=3, with_sr=True,
+                        smooth_eval_camera=False)
+    return tr, va
+
+
+def _model_cfg(variant: str, n_frames: int):
+    from genefaceplusplus_tpu.models.radnerf import RADNeRFConfig
+
+    return RADNeRFConfig(grid_type=variant, individual_embedding_num=n_frames,
+                         add_eye_blink_cond=True)
+
+
+def _build_task(variant: str, steps: int, tr, va):
+    from genefaceplusplus_tpu.training.radnerf_task import TaskHParams
+    from genefaceplusplus_tpu.training.tasks.sr_task import SRHeadNeRFTask, SRTaskConfig
+
+    # staged schedule scaled from the reference's 200k/250k (= 0.8 budget):
+    # lpips + alternate-iteration lip finetuning over the last 20%
+    tcfg = SRTaskConfig(
+        n_rays=tr.H * tr.W,
+        update_extra_interval=16,
+        lr=5e-4,
+        sr_start_iters=0,
+        lpips_start_iters=int(0.8 * steps),
+        finetune_lips=True,
+        finetune_lips_start_iter=int(0.8 * steps),
+        lambda_lpips=0.001,
+        lip_window=64,
+    )
+    cfg = _model_cfg(variant, len(tr) + len(va))
+    task = SRHeadNeRFTask(tr, cfg, tcfg, TaskHParams(), seed=0)
+    task.val_dataset = va
+    return task
+
+
+def _train_config(variant: str) -> dict:
+    """Self-describing checkpoint config (the ckpt-dir-carries-config
+    contract) so GeneFaceInfer can rebuild the model + find the dataset."""
+    return {
+        "task_cls": "head", "with_sr": True, "grid_type": variant,
+        "binary_data_dir": DATA_DIR, "video_id": "synth512",
+        "smo_win_size": 3, "cond_win_size": 1, "add_eye_blink_cond": True,
+        "grid_size": 128, "individual_embedding_num": 450,
+        "sr_dtype": "bfloat16",
+    }
+
+
+def stage_train(args):
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from genefaceplusplus_tpu.config import Config
+    from genefaceplusplus_tpu.training.trainer import Trainer
+
+    tr, va = _load_datasets()
+    task = _build_task(args.variant, args.steps, tr, va)
+    trainer = Trainer(
+        task, workdir(args.variant), config=Config(_train_config(args.variant)),
+        max_updates=args.steps,
+        val_check_interval=args.val_interval,
+        tb_log_interval=100,
+        num_ckpt_keep=2,
+        update_extra_interval=16,
+    )
+    t0 = time.time()
+    trainer.fit(resume=not args.reset)
+    print(f"| {args.variant} {args.steps} steps in {(time.time() - t0) / 60:.1f} min")
+
+
+def stage_measure(args):
+    """Per-variant step time at the production budget (sizes the runs)."""
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    tr, va = _load_datasets()
+    out = {}
+    for variant in args.variants.split(","):
+        task = _build_task(variant, 50_000, tr, va)
+        state = task.create_state()
+        task.update_extra_state(state)
+        batch = task.sample_train_batch()
+        t0 = time.time()
+        state, m = task.train_step(state, batch)
+        float(m["total_loss"])
+        compile_s = time.time() - t0
+        best = float("inf")
+        for _ in range(args.steps):
+            batch = task.sample_train_batch()
+            t0 = time.time()
+            state, m = task.train_step(state, batch)
+            float(m["total_loss"])  # force completion through the tunnel
+            best = min(best, time.time() - t0)
+        out[variant] = {"step_s": round(best, 4), "compile_s": round(compile_s, 1),
+                        "hours_for_50k": round(best * 50_000 / 3600.0, 2)}
+        print(f"| {variant}: {out[variant]}")
+    print(json.dumps(out))
+
+
+# ------------------------------------------------------------ LMD probe
+def _detector():
+    import flax.linen as nn
+
+    class LMDetector(nn.Module):
+        @nn.compact
+        def __call__(self, x):  # [B, 128, 128, 3] in [0,1]
+            for w in (32, 64, 128, 256):
+                x = nn.relu(nn.Conv(w, (3, 3), strides=(2, 2))(x))
+                x = nn.relu(nn.Conv(w, (3, 3))(x))
+            x = x.reshape(x.shape[0], -1)  # 8*8*256
+            x = nn.relu(nn.Dense(256)(x))
+            return nn.Dense(136)(x)  # normalised (x, y) * 68
+
+    return LMDetector()
+
+
+def _to_det_input(img_u8):
+    """512² (or any) uint8/float frame -> [128,128,3] float in [0,1]."""
+    import cv2
+    import numpy as np
+
+    img = np.asarray(img_u8)
+    if img.dtype == np.uint8:
+        img = img.astype(np.float32) / 255.0
+    if img.shape[0] != 128:
+        img = cv2.resize(img, (128, 128))
+    return img[..., :3]
+
+
+def stage_lmd(args):
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")  # never contend with the TPU runs
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+    from flax import serialization
+
+    ds = np.load(DATA, allow_pickle=True).tolist()
+    train, val = ds["train_samples"], ds["val_samples"]
+    X = np.stack([_to_det_input(s["gt_img"]) for s in train])
+    Y = np.stack([s["lms"].reshape(-1) for s in train])
+    Xv = np.stack([_to_det_input(s["gt_img"]) for s in val])
+    Yv = np.stack([s["lms"].reshape(-1) for s in val])
+
+    det = _detector()
+    params = det.init(jax.random.PRNGKey(0), jnp.zeros((1, 128, 128, 3)))
+    tx = optax.adam(3e-4)
+    opt = tx.init(params)
+
+    @jax.jit
+    def step(params, opt, xb, yb, key):
+        # augment: brightness/noise/blur-ish jitter so the detector
+        # transfers from GT appearance to NeRF renders
+        k1, k2 = jax.random.split(key)
+        xb = jnp.clip(xb * jax.random.uniform(k1, (len(xb), 1, 1, 1), minval=0.85, maxval=1.15)
+                      + 0.02 * jax.random.normal(k2, xb.shape), 0, 1)
+
+        def loss_fn(p):
+            pred = det.apply(p, xb)
+            return jnp.mean(jnp.abs(pred - yb))
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        upd, opt = tx.update(grads, opt, params)
+        return optax.apply_updates(params, upd), opt, loss
+
+    rng = np.random.RandomState(0)
+    key = jax.random.PRNGKey(1)
+    t0 = time.time()
+    for it in range(args.iters):
+        idx = rng.randint(0, len(X), size=16)
+        key, sub = jax.random.split(key)
+        params, opt, loss = step(params, opt, jnp.asarray(X[idx]), jnp.asarray(Y[idx]), sub)
+        if (it + 1) % 500 == 0:
+            pv = det.apply(params, jnp.asarray(Xv))
+            floor = float(jnp.mean(jnp.linalg.norm(
+                (pv.reshape(-1, 68, 2) - Yv.reshape(-1, 68, 2)) * 512.0, axis=-1)))
+            print(f"| it {it + 1} train_l1={float(loss):.4f} "
+                  f"val_floor={floor:.2f}px ({time.time() - t0:.0f}s)")
+    os.makedirs(os.path.dirname(DETECTOR), exist_ok=True)
+    with open(DETECTOR, "wb") as f:
+        f.write(serialization.msgpack_serialize(
+            jax.tree.map(lambda x: np.asarray(x), params)))
+    print(f"| detector at {DETECTOR}; held-out GT floor {floor:.2f}px @512")
+
+
+def detect_lmd(frames_u8, gt_lms) -> float:
+    """Mean landmark distance (px at 512) of detector(render) vs GT lms."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from flax import serialization
+
+    det = _detector()
+    with open(DETECTOR, "rb") as f:
+        params = serialization.msgpack_restore(f.read())
+    X = jnp.asarray(np.stack([_to_det_input(f_) for f_ in frames_u8]))
+    pred = np.asarray(jax.jit(det.apply)(params, X)).reshape(-1, 68, 2)
+    gt = np.asarray(gt_lms).reshape(-1, 68, 2)
+    return float(np.mean(np.linalg.norm((pred - gt) * 512.0, axis=-1)))
+
+
+# ---------------------------------------------------------------- eval
+def stage_eval(args):
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import numpy as np
+
+    from genefaceplusplus_tpu.training.trainer import _as_dict, _from_dict
+    from genefaceplusplus_tpu.utils.ckpt import get_last_checkpoint, restore_into
+
+    tr, va = _load_datasets()
+    task = _build_task(args.variant, 50_000, tr, va)
+    state = task.create_state()
+    ckpt, path = get_last_checkpoint(workdir(args.variant))
+    assert ckpt is not None, f"no checkpoint in {workdir(args.variant)}"
+    state = _from_dict(task.create_state(),
+                       restore_into(_as_dict(state), ckpt["state_dict"]))
+    task.load_extra_state(ckpt.get("extra_state", {}))
+    step = int(ckpt["global_step"])
+    print(f"| {args.variant} ckpt @ step {step}: {path}")
+
+    # render every held-out frame at 512² through the SR head
+    import jax.numpy as jnp
+
+    from genefaceplusplus_tpu.utils.rays import pixel_rays
+
+    task.validate(state, max_frames=1)  # builds _jit_val_sr
+    renders, gts, lms = [], [], []
+    raw_psnrs, sr_psnrs = [], []
+    H, W = va.H, va.W
+    for i in range(len(va)):
+        gt2x = va.load_image(i, "gt", full_res=True)
+        pose = jnp.asarray(va.frame_pose(i)[None])
+        ro, rd, _ = pixel_rays(pose, va.intrinsics, H, W)
+        sr = np.asarray(task._jit_val_sr(
+            state.params, ro[0], rd[0], jnp.asarray(va.frame_cond_window(i)),
+            jnp.asarray(va.eye_area_percents[i:i + 1]), task.occupancy,
+            jnp.asarray(va.bg_img.reshape(-1, 3))))
+        mse = float(np.mean((sr - gt2x) ** 2))
+        sr_psnrs.append(-10 * np.log10(max(mse, 1e-10)))
+        renders.append((sr * 255).astype(np.uint8))
+        gts.append((gt2x * 255).astype(np.uint8))
+        lms.append(va.samples[i]["lms"])
+
+    res = {
+        "variant": args.variant,
+        "step": step,
+        "val_sr_psnr_512": round(float(np.mean(sr_psnrs)), 2),
+        "n_val_frames": len(va),
+    }
+    if os.path.exists(DETECTOR):
+        res["val_lmd_px_512"] = round(detect_lmd(renders, np.stack(lms)), 2)
+        res["lmd_floor_px_512"] = round(detect_lmd(gts, np.stack(lms)), 2)
+
+    # clip artifact: GT | render side by side, 25 fps
+    if args.clip:
+        from genefaceplusplus_tpu.data.video import StreamingVideoWriter
+
+        os.makedirs(os.path.dirname(args.clip), exist_ok=True)
+        wtr = StreamingVideoWriter(args.clip, fps=25)
+        for g, r in zip(gts, renders):
+            wtr.append(np.concatenate([g, r], axis=1).astype(np.float32) / 255.0)
+        wtr.close()
+        res["clip"] = args.clip
+    print(json.dumps(res))
+    out_json = os.path.join(workdir(args.variant), "quality_eval.json")
+    with open(out_json, "w") as f:
+        json.dump(res, f, indent=2)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    sub = p.add_subparsers(dest="stage", required=True)
+    g = sub.add_parser("gen")
+    g.add_argument("--frames", type=int, default=450)
+    m = sub.add_parser("measure")
+    m.add_argument("--variants", type=str, default="fourier,tiledgrid")
+    m.add_argument("--steps", type=int, default=8)
+    t = sub.add_parser("train")
+    t.add_argument("--variant", type=str, required=True)
+    t.add_argument("--steps", type=int, default=50_000)
+    t.add_argument("--val_interval", type=int, default=2500)
+    t.add_argument("--reset", action="store_true")
+    l = sub.add_parser("lmd")
+    l.add_argument("--iters", type=int, default=3000)
+    e = sub.add_parser("eval")
+    e.add_argument("--variant", type=str, required=True)
+    e.add_argument("--clip", type=str, default="")
+    args = p.parse_args()
+    {"gen": stage_gen, "measure": stage_measure, "train": stage_train,
+     "lmd": stage_lmd, "eval": stage_eval}[args.stage](args)
+
+
+if __name__ == "__main__":
+    main()
