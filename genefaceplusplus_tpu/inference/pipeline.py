@@ -189,6 +189,8 @@ class GeneFaceInfer:
                 )
         self.dataset = dataset
         self.face3d_helper = Face3DHelper.load(bfm_dir, keypoint_mode="mediapipe")
+        self.bfm_dir = bfm_dir
+        self._secc_renderer: Any = "unset"  # lazy (--debug only)
         if dataset is not None:
             eaps = dataset.eye_area_percents
             self.opened_eye_area_percent = float(np.quantile(eaps, 0.97))
@@ -526,6 +528,10 @@ class GeneFaceInfer:
 
         batch["eye_area_percent"] = eye_area_percent
         batch["cond"] = normalized.reshape(T, 1, 68 * 3).astype(np.float32)
+        # driving coefficients kept for the --debug SECC panel
+        # (genefacepp_infer.py:313-331 renders secc from id/exp + pose)
+        batch["id_coeff"] = np.asarray(id_coeff, np.float32)
+        batch["exp"] = np.asarray(exp, np.float32)
 
         # smoothed head pose -> lm68 2D for the torso condition (:425-429)
         smo_euler = smooth_features_xd(batch["eulers"])
@@ -614,6 +620,49 @@ class GeneFaceInfer:
         self._fn_cache[key] = fn
         return fn
 
+    def _secc_debug_frame(self, batch: Dict[str, Any], i: int, size: int) -> np.ndarray:
+        """One SECC debug panel [size, size, 3] uint8 for driving frame i
+        (reference --debug behavior, genefacepp_infer.py:313-331): the BFM
+        mesh rasterised with NCC vertex colors when the licensed
+        BFM_model_front.mat is present, else an NCC-colored splat of the
+        driven keypoint landmarks (same color coding, sparse geometry)."""
+        if self._secc_renderer == "unset":
+            self._secc_renderer = None
+            mat = os.path.join(self.bfm_dir, "BFM_model_front.mat")
+            if os.path.exists(mat):
+                from scipy.io import loadmat
+
+                from genefaceplusplus_tpu.data.bfm_render import SECCRenderer
+
+                m = loadmat(mat)
+                mean_shape = m["meanshape"].reshape(-1, 3).astype(np.float32)
+                mean_shape -= mean_shape.mean(0, keepdims=True)
+                self._secc_renderer = SECCRenderer(
+                    mean_shape, m["idBase"].astype(np.float32),
+                    m["exBase"].astype(np.float32),
+                    m["tri"].astype(np.int64) - 1, size=size,
+                )
+        idc, exp = batch["id_coeff"][i], batch["exp"][i]
+        euler, trans = batch["eulers"][i], batch["transs"][i]
+        if self._secc_renderer is not None:
+            _, secc = self._secc_renderer.render(idc, exp, euler, trans)
+            img = ((secc * 0.5 + 0.5) * 255).astype(np.uint8)
+            if img.shape[0] != size:
+                import cv2
+
+                img = cv2.resize(img, (size, size))
+            return img
+        from genefaceplusplus_tpu.data.secc import render_secc
+
+        lm3d_cam = np.asarray(self.face3d_helper.reconstruct_key_lm3d(
+            jnp.asarray(idc[None]), jnp.asarray(exp[None]),
+            jnp.asarray(euler[None]), jnp.asarray(trans[None])))[0]
+        cano = np.asarray(self.face3d_helper.key_mean_shape)
+        from genefaceplusplus_tpu.data.secc import ncc_colors
+
+        return render_secc(lm3d_cam, ncc_colors(cano), size=size,
+                           splat=max(2, size // 128))
+
     def forward_secc2video(self, batch: Dict[str, Any], inp: Dict[str, Any]) -> str:
         ds = self.dataset
         H, W = ds.H, ds.W
@@ -672,20 +721,21 @@ class GeneFaceInfer:
             for j in range(n_real):
                 frame = imgs[j]
                 if debug:
-                    # side panel with the driving lm68 overlay
-                    # (the reference's SECC/landmark debug panels,
-                    # genefacepp_infer.py:489-495)
+                    # side panels: driving SECC + lm68 overlay (the
+                    # reference's debug layout, genefacepp_infer.py:313-331,
+                    # 489-495)
                     from genefaceplusplus_tpu.data.visualization import (
                         draw_landmarks, side_by_side,
                     )
 
                     base = (frame if frame.dtype == np.uint8
                             else (np.clip(frame, 0, 1) * 255).astype(np.uint8))
+                    secc = self._secc_debug_frame(batch, idxs[j], base.shape[0])
                     panel = draw_landmarks(
                         np.zeros_like(base), batch["lm68"][idxs[j]],
                         color=(64, 255, 64), radius=max(1, base.shape[0] // 128),
                     )
-                    frame = side_by_side(base, panel).astype(np.float32) / 255.0
+                    frame = side_by_side(base, secc, panel).astype(np.float32) / 255.0
                 writer.append(frame)
         writer.close()
         if crop_misses:

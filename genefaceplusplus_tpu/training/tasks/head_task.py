@@ -178,10 +178,10 @@ class HeadNeRFTask:
             n = self.task_cfg.n_rays
             inds = self.np_rng.randint(0, H * W, size=n)
 
-        from genefaceplusplus_tpu.utils.rays import pixel_rays
+        from genefaceplusplus_tpu.utils.rays import pixel_rays_jit
 
         pose = jnp.asarray(ds.frame_pose(idx)[None])
-        rays_o, rays_d, _ = pixel_rays(pose, ds.intrinsics, H, W, jnp.asarray(inds[None]))
+        rays_o, rays_d, _ = pixel_rays_jit(pose, ds.intrinsics, H, W, inds[None])
 
         gt = ds.load_image(idx, "gt")
         if gt is None:
@@ -309,12 +309,12 @@ class HeadNeRFTask:
         renders saved to <save_dir>/validation_results when given (mirrors
         the reference's periodic validation figures, radnerf.py:234-281)."""
         ds_val = self.val_dataset if self.val_dataset is not None else self.dataset
-        from genefaceplusplus_tpu.utils.rays import pixel_rays
+        from genefaceplusplus_tpu.utils.rays import pixel_rays_jit
 
         psnrs = []
         for i in range(min(max_frames, len(ds_val))):
             pose = jnp.asarray(ds_val.frame_pose(i)[None])
-            rays_o, rays_d, _ = pixel_rays(pose, ds_val.intrinsics, ds_val.H, ds_val.W)
+            rays_o, rays_d, _ = pixel_rays_jit(pose, ds_val.intrinsics, ds_val.H, ds_val.W)
             cond = jnp.asarray(ds_val.frame_cond_window(i))
             params = state.params
             cond_feat = self.model.apply(params, cond, method=RADNeRF.cal_cond_feat)

@@ -26,7 +26,7 @@ from genefaceplusplus_tpu.training import losses as L
 from genefaceplusplus_tpu.training.perceptual import perceptual_from_task_config
 from genefaceplusplus_tpu.training.tasks.head_task import HeadNeRFTask, HeadTaskConfig
 from genefaceplusplus_tpu.training.radnerf_task import TaskHParams
-from genefaceplusplus_tpu.utils.rays import pixel_rays
+from genefaceplusplus_tpu.utils.rays import pixel_rays, pixel_rays_jit
 
 
 @flax.struct.dataclass
@@ -49,6 +49,10 @@ class SRTaskConfig(HeadTaskConfig):
     # like every shipped reference config.
     lambda_dual_fm: float = 0.0
     disc_model_dir: str = ""  # checkpoint dir for the frozen discriminator
+    # "eg3d" = the faithful EG3D dual disc (models/eg3d_discriminator.py,
+    # convertible from eg3d_baseline_run2); "compact" = the small random-init
+    # stack (tests / tiny resolutions). The reference mechanism is "eg3d".
+    disc_arch: str = "eg3d"
     # SR block compute dtype; the reference trains these blocks at fp16
     # (radnerf_sr.py:19, conv_clamp=256) — bf16 is the TPU equivalent.
     # Params stay f32 either way.
@@ -73,22 +77,42 @@ class SRHeadNeRFTask(HeadNeRFTask):
         self.disc_model = None
         self.disc_params = None
         if task_cfg.lambda_dual_fm > 0:
-            from genefaceplusplus_tpu.models.dual_discriminator import DualDiscriminator
             from genefaceplusplus_tpu.utils.ckpt import get_last_checkpoint, restore_into
 
-            n_down = max(2, min(5, int(np.log2(dataset.H)) - 2))
-            self.disc_model = DualDiscriminator(n_down=n_down)
             H2, W2 = 2 * dataset.H, 2 * dataset.W
+            if task_cfg.disc_arch == "eg3d":
+                # the reference mechanism: faithful StyleGAN2 resnet-D with
+                # camera conditioning (radnerf_sr.py:112-123 loads
+                # eg3d_baseline_run2 strict=True)
+                from genefaceplusplus_tpu.models.eg3d_discriminator import (
+                    EG3DDualDiscriminator,
+                )
+
+                self.disc_model = EG3DDualDiscriminator(img_resolution=H2)
+            else:
+                from genefaceplusplus_tpu.models.dual_discriminator import (
+                    DualDiscriminator,
+                )
+
+                n_down = max(2, min(5, int(np.log2(dataset.H)) - 2))
+                self.disc_model = DualDiscriminator(n_down=n_down)
             self.disc_params = self.disc_model.init(
                 jax.random.PRNGKey(seed + 7), jnp.zeros((1, H2, W2, 3)),
                 jnp.zeros((1, dataset.H, dataset.W, 3)), jnp.zeros((1, 25)),
             )
             if task_cfg.disc_model_dir:
+                # strict like the reference: a configured-but-absent
+                # pretrained disc must fail, not silently FM on random init
                 ckpt, _ = get_last_checkpoint(task_cfg.disc_model_dir)
-                if ckpt is not None:
-                    state = ckpt.get("state_dict", ckpt)
-                    state = state.get("disc", state)
-                    self.disc_params = restore_into(self.disc_params, state)
+                if ckpt is None:
+                    raise FileNotFoundError(
+                        f"disc_model_dir={task_cfg.disc_model_dir!r} has no "
+                        "checkpoint (convert one with scripts/convert_ckpt.py "
+                        "--type disc)")
+                state = ckpt.get("state_dict", ckpt)
+                state = state.get("disc", state)
+                self.disc_params = restore_into(self.disc_params, state,
+                                                strict=True)
 
         self._train_step = jax.jit(self._make_sr_step(), static_argnames=("use_lpips", "use_sr"))
 
@@ -207,7 +231,7 @@ class SRHeadNeRFTask(HeadNeRFTask):
         idx = int(self.np_rng.randint(len(ds)))
         H, W = ds.H, ds.W
         pose = jnp.asarray(ds.frame_pose(idx)[None])
-        rays_o, rays_d, _ = pixel_rays(pose, ds.intrinsics, H, W)
+        rays_o, rays_d, _ = pixel_rays_jit(pose, ds.intrinsics, H, W)
         gt = ds.load_image(idx, "gt")
         if gt is None:
             gt = ds.bg_img
@@ -298,7 +322,7 @@ class SRHeadNeRFTask(HeadNeRFTask):
             if gt2x is None or gt2x.shape[0] != 2 * H:
                 continue
             pose = jnp.asarray(ds.frame_pose(i)[None])
-            rays_o, rays_d, _ = pixel_rays(pose, ds.intrinsics, H, W)
+            rays_o, rays_d, _ = pixel_rays_jit(pose, ds.intrinsics, H, W)
             sr = self._jit_val_sr(
                 state.params, rays_o[0], rays_d[0],
                 jnp.asarray(ds.frame_cond_window(i)),

@@ -26,7 +26,7 @@ from genefaceplusplus_tpu.training import losses as L
 from genefaceplusplus_tpu.training.grid_updater import update_torso_grid
 from genefaceplusplus_tpu.training.schedulers import make_radnerf_optimizer
 from genefaceplusplus_tpu.utils.ckpt import get_last_checkpoint, restore_into
-from genefaceplusplus_tpu.utils.rays import get_bg_coords, pixel_rays
+from genefaceplusplus_tpu.utils.rays import get_bg_coords, pixel_rays_jit
 
 
 @flax.struct.dataclass
@@ -174,7 +174,7 @@ class TorsoNeRFTask:
         H, W = ds.H, ds.W
         # torso training renders full (small) frames: rays over all pixels
         pose = jnp.asarray(ds.frame_pose(idx)[None])
-        rays_o, rays_d, _ = pixel_rays(pose, ds.intrinsics, H, W)
+        rays_o, rays_d, _ = pixel_rays_jit(pose, ds.intrinsics, H, W)
         gt = ds.load_image(idx, "gt")
         if gt is None:
             gt = ds.bg_img

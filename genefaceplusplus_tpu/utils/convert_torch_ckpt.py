@@ -217,6 +217,51 @@ def convert_vggface(state: Dict[str, np.ndarray]) -> Dict[str, Any]:
     return {"params": params}
 
 
+def convert_eg3d_disc(state: Dict[str, np.ndarray],
+                      img_resolution: int = 512) -> Dict[str, Any]:
+    """eg3d_baseline_run2 `disc` torch state dict -> EG3DDualDiscriminator
+    flax params (models/eg3d_discriminator.py).
+
+    Torch layout (modules/eg3ds/models/{dual_discriminator,
+    networks_stylegan2}.py): b{res}.{fromrgb,conv0,conv1,skip}.{weight,bias}
+    with conv weights [out,in,k,k]; mapping.embed + mapping.fc{i} [out,in];
+    b4.{conv,fc,out}. Our EqualDense stores [out,in] verbatim; conv kernels
+    transpose to HWIO."""
+    res_log2 = int(np.log2(img_resolution))
+    block_res = [2 ** i for i in range(res_log2, 2, -1)]
+
+    def conv(prefix, bias=True):
+        out = {"weight": conv2d_to_flax(state[f"{prefix}.weight"])}
+        if bias and f"{prefix}.bias" in state:
+            out["bias"] = state[f"{prefix}.bias"]
+        return out
+
+    def dense(prefix):
+        return {"weight": state[f"{prefix}.weight"],
+                "bias": state[f"{prefix}.bias"]}
+
+    params: Dict[str, Any] = {}
+    for i, r in enumerate(block_res):
+        blk = {
+            "conv0": conv(f"b{r}.conv0"),
+            "conv1": conv(f"b{r}.conv1"),
+            "skip": conv(f"b{r}.skip", bias=False),
+        }
+        if i == 0:
+            blk["fromrgb"] = conv(f"b{r}.fromrgb")
+        params[f"b{r}"] = blk
+    mapping: Dict[str, Any] = {"embed": dense("mapping.embed")}
+    i = 0
+    while f"mapping.fc{i}.weight" in state:
+        mapping[f"fc{i}"] = dense(f"mapping.fc{i}")
+        i += 1
+    params["mapping"] = mapping
+    params["b4_conv"] = conv("b4.conv")
+    params["b4_fc"] = dense("b4.fc")
+    params["b4_out"] = dense("b4.out")
+    return {"params": params, "n_mapping_layers": i}
+
+
 def convert_radnerf_grid(state: Dict[str, np.ndarray], grid_size: int = 128) -> Dict[str, Any]:
     """RADNeRF (grid path) torch state dict -> flax params + render state.
 

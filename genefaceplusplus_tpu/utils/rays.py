@@ -60,6 +60,30 @@ def pixel_rays(
     return rays_o, rays_d, inds
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=64)
+def _pixel_rays_compiled(intrinsics, H, W, with_inds):
+    if with_inds:
+        return jax.jit(lambda poses, inds: pixel_rays(poses, intrinsics, H, W, inds))
+    return jax.jit(lambda poses: pixel_rays(poses, intrinsics, H, W))
+
+
+def pixel_rays_jit(poses, intrinsics, H: int, W: int, inds=None):
+    """Compiled pixel_rays, cached per (intrinsics, H, W, inds-or-not).
+
+    The eager version is ~10 separate dispatches; in a per-step host loop
+    through the network device tunnel (~26 ms each) that dominates the
+    step. One compiled call amortises to ~1 dispatch."""
+    import numpy as np
+
+    intr = tuple(float(x) for x in np.asarray(intrinsics).reshape(-1))
+    if inds is None:
+        return _pixel_rays_compiled(intr, int(H), int(W), False)(poses)
+    return _pixel_rays_compiled(intr, int(H), int(W), True)(poses, jnp.asarray(inds))
+
+
 def sample_ray_indices(
     key: jax.Array,
     H: int,

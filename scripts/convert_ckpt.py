@@ -84,8 +84,16 @@ def convert_file(input_path: str, kind: str, out_dir: str,
         cfg.setdefault("grid_type", "tiledgrid")
         cfg.setdefault("grid_size", grid_size)
         n = len([k for k in state])
+    elif kind == "disc":
+        # eg3d_baseline_run2's `disc` sub-model -> frozen FM discriminator
+        # (SRTaskConfig.disc_model_dir); reference load radnerf_sr.py:112-123
+        state = cvt.load_torch_state_dict(input_path, sub_model="disc")
+        out = cvt.convert_eg3d_disc(state,
+                                    img_resolution=int(cfg.get("final_resolution", 512)))
+        payload = {"state_dict": {"disc": {"params": out["params"]}}}
+        n = len([k for k in state])
     else:
-        raise ValueError(f"unknown --type {kind!r} (a2m | head)")
+        raise ValueError(f"unknown --type {kind!r} (a2m | head | disc)")
 
     from genefaceplusplus_tpu.config import Config
 
@@ -98,7 +106,7 @@ def convert_file(input_path: str, kind: str, out_dir: str,
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__.split("\n")[0])
     p.add_argument("--input", required=True, help="torch .ckpt file")
-    p.add_argument("--type", required=True, choices=["a2m", "head"])
+    p.add_argument("--type", required=True, choices=["a2m", "head", "disc"])
     p.add_argument("--out", required=True, help="output checkpoint dir")
     p.add_argument("--grid_size", type=int, default=128)
     args = p.parse_args(argv)

@@ -64,6 +64,30 @@ def test_wav_to_video_end_to_end(infer, tmp_path):
     assert os.path.getsize(out) > 0
 
 
+def test_debug_panel_has_secc_and_landmarks(infer, tmp_path):
+    """--debug triples the frame width: render | SECC | lm68 panel
+    (reference debug layout, genefacepp_infer.py:313-331, 489-495)."""
+    inp = default_inp(
+        drv_aud_features=_features(tmp_path, T50=16),
+        out_name=str(tmp_path / "dbg.mp4"),
+        debug=True,
+    )
+    batch = infer.prepare_batch_from_inp(inp)
+    batch = infer.forward_audio2secc(batch, inp)
+    # the SECC panel itself: NCC-splat fallback (no licensed BFM here),
+    # non-black exactly where geometry projects
+    panel = infer._secc_debug_frame(batch, 0, 32)
+    assert panel.shape == (32, 32, 3) and panel.dtype == np.uint8
+    assert (panel > 0).any()
+    out = infer.forward_secc2video(batch, inp)
+    import cv2
+
+    cap = cv2.VideoCapture(out)
+    ok, frame = cap.read()
+    cap.release()
+    assert ok and frame.shape[1] == 3 * frame.shape[0]
+
+
 def test_audio2secc_stage_shapes(infer, tmp_path):
     inp = default_inp(drv_aud_features=_features(tmp_path), blink_mode="none", lle_percent=0.0)
     batch = infer.prepare_batch_from_inp(inp)
