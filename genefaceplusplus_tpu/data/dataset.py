@@ -113,11 +113,21 @@ class RADNeRFDataset:
             ds.get("idexp_lm3d_std", lm.std(0) + 1e-8), np.float32
         )
         normalized = (lm - self.idexp_lm3d_mean) / self.idexp_lm3d_std
-        self.conds = normalized.reshape(len(lm), cond_win_size, -1).astype(np.float32)
+        # full-timeline conds (for temporal smoothing windows that may cross
+        # the split boundary) + split-local views indexed like samples. The
+        # samples' stored global frame id maps local -> timeline; without it
+        # a val-split dataset would condition frame i on TRAIN frame i's
+        # landmarks (binarizer split, binarizer_nerf.py:279-282).
+        self.frame_ids = np.asarray(
+            [s.get("idx", k) for k, s in enumerate(self.samples)], np.int64
+        )
+        self.conds_all = normalized.reshape(len(lm), cond_win_size, -1).astype(np.float32)
+        self.conds = self.conds_all[np.clip(self.frame_ids, 0, len(lm) - 1)]
 
-        self.eye_area_percents = np.asarray(
+        eye_all = np.asarray(
             ds.get("eye_area_percent", np.full((len(lm), 1), 0.25)), np.float32
         ).reshape(len(lm), 1)
+        self.eye_area_percents = eye_all[np.clip(self.frame_ids, 0, len(lm) - 1)]
 
         self.bg_img = np.asarray(ds["bg_img"], np.float32)
         if self.bg_img.max() > 1.5:
@@ -134,12 +144,14 @@ class RADNeRFDataset:
         return self.poses[i]
 
     def frame_cond_window(self, i: int) -> np.ndarray:
-        """Centered smo window of conds [smo_win, cond_win, C] (att_mode=2)."""
-        T = len(self.conds)
-        left = i - self.smo_win_size // 2
+        """Centered smo window of conds [smo_win, cond_win, C] (att_mode=2).
+        The window slides over the FULL timeline (a val frame's neighbours
+        are its real temporal neighbours, which may be train frames)."""
+        T = len(self.conds_all)
+        left = int(self.frame_ids[i]) - self.smo_win_size // 2
         offs = np.arange(self.smo_win_size) + left
         valid = (offs >= 0) & (offs < T)
-        win = self.conds[np.clip(offs, 0, T - 1)]
+        win = self.conds_all[np.clip(offs, 0, T - 1)].copy()
         win[~valid] = 0.0
         return win
 

@@ -134,6 +134,108 @@ class SRHeadNeRFTask(HeadNeRFTask):
             rng=jax.random.PRNGKey(self.seed),
         )
 
+    # ------------------------------------------------------------------
+    def _device_frames(self) -> Dict:
+        """Device-resident per-frame training store, built once.
+
+        With one host core and a network device tunnel, per-step host
+        assembly (image decode + ~5 MB of transfers + eager ops) dominates
+        the 0.18 s device step. Keeping every frame's gt/gt2x/bg/mask as
+        uint8 device arrays (~560 MB HBM at 450x512²) turns sampling into
+        an on-device gather inside the jitted step — the only per-step
+        transfer left is the frame index. uint8 storage matches the
+        dataset's LRU cache quantisation, so losses are bit-identical."""
+        if getattr(self, "_dev_frames", None) is not None:
+            return self._dev_frames
+        import cv2
+
+        ds = self.dataset
+        T, H, W = len(ds), ds.H, ds.W
+        win = min(self.task_cfg.lip_window, H, W)
+        sc = H / int(ds.ds["H"])
+
+        def u8(img):
+            img = np.asarray(img)[..., :3]
+            return (np.clip(np.round(img * 255.0), 0, 255).astype(np.uint8)
+                    if img.dtype != np.uint8 else img)
+
+        gt_l, gt2_l, bg_l, mask_l, lip_l, pose_l = [], [], [], [], [], []
+        for i in range(T):
+            gt = ds.load_image(i, "gt")
+            gt = ds.bg_img if gt is None else gt
+            g2 = ds.load_image(i, "gt", full_res=True)
+            if g2 is None or g2.shape[0] != 2 * H:
+                g2 = cv2.resize(np.asarray(gt), (2 * W, 2 * H))
+            bg = ds.frame_bg_torso(i)
+            bg = ds.bg_img if bg is None else bg
+            gt_l.append(u8(gt))
+            gt2_l.append(u8(g2))
+            bg_l.append(u8(bg))
+            mask_l.append(self._face_mask(i))
+            rect = ds.samples[i].get("lip_rect", [0, H, 0, W])
+            cy = int((rect[0] + rect[1]) / 2 * sc)
+            cx = int((rect[2] + rect[3]) / 2 * sc)
+            lip_l.append([int(np.clip(cy - win // 2, 0, H - win)),
+                          int(np.clip(cx - win // 2, 0, W - win))])
+            pose_l.append(ds.frame_pose(i))
+        if self.disc_model is not None:
+            from genefaceplusplus_tpu.data.eg3d_convention import (
+                eg3d_camera_from_euler_trans,
+            )
+
+            cams = eg3d_camera_from_euler_trans(
+                np.asarray(ds.ds["euler"])[:T], np.asarray(ds.ds["trans"])[:T]
+            ).astype(np.float32)
+        else:
+            cams = np.zeros((T, 25), np.float32)
+        self._dev_frames = {
+            "gt": jnp.asarray(np.stack(gt_l)),
+            "gt2x": jnp.asarray(np.stack(gt2_l)),
+            "bg": jnp.asarray(np.stack(bg_l)),
+            "mask": jnp.asarray(np.stack(mask_l)),
+            "lip_xy0": jnp.asarray(np.asarray(lip_l, np.int32)),
+            "poses": jnp.asarray(np.stack(pose_l).astype(np.float32)),
+            "conds_all": jnp.asarray(np.asarray(ds.conds_all, np.float32)),
+            "frame_ids": jnp.asarray(np.asarray(ds.frame_ids, np.int32)),
+            "eye": jnp.asarray(np.asarray(ds.eye_area_percents, np.float32)),
+            "camera": jnp.asarray(cams),
+        }
+        return self._dev_frames
+
+    def _make_gather(self):
+        """On-device batch assembly from the frame store (inside jit)."""
+        ds = self.dataset
+        H, W = ds.H, ds.W
+        T_all = len(ds.conds_all)
+        intr = tuple(float(x) for x in np.asarray(ds.intrinsics).reshape(-1))
+        smo = ds.smo_win_size
+
+        def gather(frames, idx):
+            from genefaceplusplus_tpu.utils.rays import pixel_rays
+
+            rays_o, rays_d, _ = pixel_rays(frames["poses"][idx][None], intr, H, W)
+            # cond window over the FULL timeline (frame_cond_window parity)
+            g = frames["frame_ids"][idx]
+            rel = jnp.arange(smo) - smo // 2
+            offs = jnp.clip(g + rel, 0, T_all - 1)
+            valid = ((g + rel) >= 0) & ((g + rel) < T_all)
+            cond = frames["conds_all"][offs] * valid[:, None, None]
+            return {
+                "rays_o": rays_o[0],
+                "rays_d": rays_d[0],
+                "cond": cond,
+                "gt_rgb": frames["gt"][idx].astype(jnp.float32).reshape(-1, 3) / 255.0,
+                "gt_rgb_2x": frames["gt2x"][idx].astype(jnp.float32).reshape(-1, 3) / 255.0,
+                "bg_color": frames["bg"][idx].astype(jnp.float32).reshape(-1, 3) / 255.0,
+                "face_mask": frames["mask"][idx].reshape(-1),
+                "idx": idx,
+                "eye_area_percent": frames["eye"][idx][None],
+                "lip_xy0": frames["lip_xy0"][idx],
+                "camera": frames["camera"][idx][None],
+            }
+
+        return gather
+
     def _make_sr_step(self):
         model, sr_model, cfg, hp, opts, tx = (
             self.model, self.sr_model, self.cfg, self.hp, self.opts, self.tx,
@@ -142,6 +244,7 @@ class SRHeadNeRFTask(HeadNeRFTask):
         tcfg: SRTaskConfig = self.task_cfg
         perceptual = self.perceptual
         disc_model, disc_params = self.disc_model, self.disc_params
+        gather = self._make_gather()
 
         def loss_fn(params, batch, occupancy, lambda_ambient, global_step, noise, use_sr, use_lpips):
             head_params = params["head"]
@@ -204,7 +307,8 @@ class SRHeadNeRFTask(HeadNeRFTask):
             metrics["total_loss"] = total
             return total, metrics
 
-        def step(state: SRTrainState, batch, occupancy, use_sr: bool, use_lpips: bool):
+        def step(state: SRTrainState, frames, idx, occupancy, use_sr: bool, use_lpips: bool):
+            batch = gather(frames, idx)
             rng, sub = jax.random.split(state.rng)
             noise = jax.random.uniform(sub, batch["rays_o"].shape[:1]) if opts.perturb else None
             (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -226,64 +330,20 @@ class SRHeadNeRFTask(HeadNeRFTask):
         return step
 
     def sample_train_batch(self) -> Dict:
-        """Full-frame batch: rays over all H*W pixels + 2x gt for SR."""
-        ds = self.dataset
-        idx = int(self.np_rng.randint(len(ds)))
-        H, W = ds.H, ds.W
-        pose = jnp.asarray(ds.frame_pose(idx)[None])
-        rays_o, rays_d, _ = pixel_rays_jit(pose, ds.intrinsics, H, W)
-        gt = ds.load_image(idx, "gt")
-        if gt is None:
-            gt = ds.bg_img
-        # SR trains against the ORIGINAL full-resolution image when stored
-        # at 2x (the reference's gt_img stays 512 while the raw target is
-        # downsampled, dataset_utils.py:187-190); upsampling the 256 gt
-        # would erase exactly the high-frequency detail SR must learn
-        gt2x = ds.load_image(idx, "gt", full_res=True)
-        if gt2x is None or gt2x.shape[0] != 2 * H:
-            import cv2
-
-            gt2x = cv2.resize(np.asarray(gt), (2 * W, 2 * H))
-        camera = np.zeros((1, 25), np.float32)
-        if self.disc_model is not None:
-            from genefaceplusplus_tpu.data.eg3d_convention import eg3d_camera_from_euler_trans
-
-            camera = eg3d_camera_from_euler_trans(
-                np.asarray(ds.ds["euler"])[idx : idx + 1],
-                np.asarray(ds.ds["trans"])[idx : idx + 1],
-            ).astype(np.float32)
-        bg = ds.frame_bg_torso(idx)
-        if bg is None:
-            bg = ds.bg_img
-        # static lip window origin for the SR lip-perceptual crop
-        win = min(self.task_cfg.lip_window, H, W)
-        rect = ds.samples[idx].get("lip_rect", [0, H, 0, W])
-        sc = H / int(ds.ds["H"])
-        cy = int((rect[0] + rect[1]) / 2 * sc)
-        cx = int((rect[2] + rect[3]) / 2 * sc)
-        lip_xy0 = np.asarray([
-            int(np.clip(cy - win // 2, 0, H - win)),
-            int(np.clip(cx - win // 2, 0, W - win)),
-        ], np.int32)
-        return {
-            "lip_xy0": jnp.asarray(lip_xy0),
-            "camera": jnp.asarray(camera),
-            "rays_o": rays_o[0],
-            "rays_d": rays_d[0],
-            "cond": jnp.asarray(ds.frame_cond_window(idx)),
-            "gt_rgb": jnp.asarray(gt.reshape(-1, 3)),
-            "gt_rgb_2x": jnp.asarray(gt2x.reshape(-1, 3)),
-            "bg_color": jnp.asarray(bg.reshape(-1, 3)),
-            "face_mask": jnp.asarray(self._face_mask(idx).reshape(-1)),
-            "idx": idx,
-            "eye_area_percent": jnp.asarray(ds.eye_area_percents[idx : idx + 1]),
-        }
+        """Full-frame sampling = just a frame index; the batch (rays, gt,
+        gt2x, bg, mask, cond window, camera) is gathered ON DEVICE inside
+        the jitted step from the resident frame store (_device_frames)."""
+        self._device_frames()  # built once, before the first step
+        return {"frame_idx": int(self.np_rng.randint(len(self.dataset)))}
 
     def train_step(self, state, batch):
         step = int(state.global_step)
         use_sr = step >= self.task_cfg.sr_start_iters
         use_lpips = step >= self.task_cfg.lpips_start_iters
-        return self._train_step(state, batch, self.occupancy, use_sr=use_sr, use_lpips=use_lpips)
+        return self._train_step(
+            state, self._device_frames(),
+            jnp.asarray(batch["frame_idx"], jnp.int32), self.occupancy,
+            use_sr=use_sr, use_lpips=use_lpips)
 
     def validate(self, state, max_frames: int = 2, save_dir: str = ""):
         """Head validate (raw-res val_psnr) + SR validate: render raw val

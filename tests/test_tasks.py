@@ -92,7 +92,10 @@ def test_sr_task_with_dual_fm_loss():
     state = task.create_state()
     disc_before = jax.tree.map(np.asarray, task.disc_params)
     batch = task.sample_train_batch()
-    assert "camera" in batch and batch["camera"].shape == (1, 25)
+    # batch is just a frame index; the camera label lives in the
+    # device-resident frame store and is gathered inside the jitted step
+    assert "frame_idx" in batch
+    assert task._device_frames()["camera"].shape == (len(ds), 25)
     state, m = task.train_step(state, batch)
     assert "dual_feature_matching_loss" in m
     assert np.isfinite(float(m["dual_feature_matching_loss"]))
