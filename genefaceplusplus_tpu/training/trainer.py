@@ -16,7 +16,6 @@ from __future__ import annotations
 import json
 import os
 import time
-from collections import defaultdict
 from typing import Dict
 
 import numpy as np
@@ -25,24 +24,42 @@ from genefaceplusplus_tpu.utils.ckpt import get_last_checkpoint, restore_into, s
 
 
 class Meters:
+    """Deferred metric averaging.
+
+    update() only buffers the step's (device-array) scalars — float()ing
+    them in the hot loop would be ~a dozen synchronous device->host
+    fetches PER STEP, each a ~26 ms round trip through the network device
+    tunnel (measured: 7.4 -> 2.5 steps/s on the production SR config).
+    means() reduces each key on device and fetches once per log interval;
+    the host is free to run ahead dispatching steps in between."""
+
     def __init__(self):
-        self.sums = defaultdict(float)
-        self.counts = defaultdict(int)
+        self.buf = []
 
     def update(self, metrics: Dict):
-        for k, v in metrics.items():
-            try:
-                self.sums[k] += float(v)
-                self.counts[k] += 1
-            except (TypeError, ValueError):
-                pass
+        self.buf.append(metrics)
 
     def means(self) -> Dict[str, float]:
-        return {k: self.sums[k] / max(1, self.counts[k]) for k in self.sums}
+        per_key: Dict[str, list] = {}
+        for m in self.buf:
+            for k, v in m.items():
+                per_key.setdefault(k, []).append(v)
+        out: Dict[str, float] = {}
+        for k, vals in per_key.items():
+            try:
+                if len(vals) == 1:
+                    out[k] = float(vals[0])
+                else:
+                    import jax.numpy as jnp
+
+                    out[k] = float(jnp.mean(jnp.stack(
+                        [jnp.asarray(v, jnp.float32) for v in vals])))
+            except (TypeError, ValueError):
+                pass
+        return out
 
     def reset(self):
-        self.sums.clear()
-        self.counts.clear()
+        self.buf = []
 
 
 class TeeLogger:

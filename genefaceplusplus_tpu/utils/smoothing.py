@@ -21,6 +21,10 @@ def mirror_index(index: int, size: int) -> int:
 
 def smooth_features_xd(feats: np.ndarray, kernel_size: int = 7) -> np.ndarray:
     """Reflect-padded moving-average smoothing along axis 0 of [T, ...]."""
+    T = len(feats)
+    # reflect padding needs pad <= T-1 taps on each side; clamp the window
+    # for very short sequences (e.g. a tiny val split's camera path)
+    kernel_size = min(kernel_size, max(1, 2 * T - 1))
     if kernel_size <= 1:
         return feats
     pad_l = kernel_size // 2
