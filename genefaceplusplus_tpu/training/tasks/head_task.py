@@ -97,11 +97,17 @@ class HeadNeRFTask:
             num_samples=task_cfg.num_samples,
             perturb=True,
         )
-        self._train_step = jax.jit(make_train_step(
+        base_step = make_train_step(
             self.model, self.tx, self.opts, hp,
             use_fused_field=task_cfg.use_fused_field,
             fused_tile=task_cfg.fused_tile,
-        ))
+        )
+        gather = self._make_ray_gather()
+
+        def fused_step(state, frames, idx, inds, occupancy):
+            return base_step(state, gather(frames, idx, inds), occupancy)
+
+        self._train_step = jax.jit(fused_step)
         self._lip_step = None  # compiled lazily on first lip-finetune batch
         self._finetune_lip_flag = False
         self.np_rng = np.random.RandomState(seed)
@@ -160,7 +166,76 @@ class HeadNeRFTask:
         cols = np.arange(x0, x0 + win)
         return (rows[:, None] * ds.W + cols[None, :]).reshape(-1)
 
+    def _device_frames(self) -> Dict:
+        """Device-resident per-frame store (gt/bg/mask/pose/cond): batch
+        assembly happens on device inside the jitted step — with one host
+        core and a network device tunnel, per-step host gathers + ~2 MB
+        transfers otherwise dominate the step (docs/DESIGN.md round-3 log).
+        uint8 storage matches the dataset LRU quantisation bit-for-bit."""
+        if getattr(self, "_dev_frames", None) is not None:
+            return self._dev_frames
+        ds = self.dataset
+        T = len(ds)
+
+        def u8(img):
+            img = np.asarray(img)[..., :3]
+            return (np.clip(np.round(img * 255.0), 0, 255).astype(np.uint8)
+                    if img.dtype != np.uint8 else img)
+
+        gt_l, bg_l, mask_l, pose_l = [], [], [], []
+        for i in range(T):
+            gt = ds.load_image(i, "gt")
+            gt_l.append(u8(ds.bg_img if gt is None else gt))
+            bg = ds.frame_bg_torso(i)
+            bg_l.append(u8(ds.bg_img if bg is None else bg))
+            mask_l.append(self._face_mask(i))
+            pose_l.append(ds.frame_pose(i))
+        self._dev_frames = {
+            "gt": jnp.asarray(np.stack(gt_l)),
+            "bg": jnp.asarray(np.stack(bg_l)),
+            "mask": jnp.asarray(np.stack(mask_l)),
+            "poses": jnp.asarray(np.stack(pose_l).astype(np.float32)),
+            "conds_all": jnp.asarray(np.asarray(ds.conds_all, np.float32)),
+            "frame_ids": jnp.asarray(np.asarray(ds.frame_ids, np.int32)),
+            "eye": jnp.asarray(np.asarray(ds.eye_area_percents, np.float32)),
+        }
+        return self._dev_frames
+
+    def _make_ray_gather(self):
+        """On-device batch assembly for sampled ray indices (inside jit)."""
+        ds = self.dataset
+        H, W = ds.H, ds.W
+        T_all = len(ds.conds_all)
+        intr = tuple(float(x) for x in np.asarray(ds.intrinsics).reshape(-1))
+        smo = ds.smo_win_size
+
+        def gather(frames, idx, inds):
+            from genefaceplusplus_tpu.utils.rays import pixel_rays
+
+            rays_o, rays_d, _ = pixel_rays(frames["poses"][idx][None], intr, H, W,
+                                           inds[None])
+            g = frames["frame_ids"][idx]
+            rel = jnp.arange(smo) - smo // 2
+            offs = jnp.clip(g + rel, 0, T_all - 1)
+            valid = ((g + rel) >= 0) & ((g + rel) < T_all)
+            cond = frames["conds_all"][offs] * valid[:, None, None]
+            return {
+                "rays_o": rays_o[0],
+                "rays_d": rays_d[0],
+                "cond": cond,
+                "gt_rgb": frames["gt"][idx].reshape(-1, 3)[inds].astype(jnp.float32) / 255.0,
+                "bg_color": frames["bg"][idx].reshape(-1, 3)[inds].astype(jnp.float32) / 255.0,
+                "face_mask": frames["mask"][idx].reshape(-1)[inds],
+                "idx": idx,
+                "eye_area_percent": frames["eye"][idx][None],
+            }
+
+        return gather
+
     def sample_train_batch(self, global_step: int = 0) -> Dict[str, jnp.ndarray]:
+        """Sampling = frame index + ray indices; everything else is gathered
+        ON DEVICE inside the jitted step from the resident frame store."""
+        self._device_frames()  # built once, before the first step
         ds = self.dataset
         idx = int(self.np_rng.randint(len(ds)))
         H, W = ds.H, ds.W
@@ -173,40 +248,13 @@ class HeadNeRFTask:
             self._finetune_lip_flag = not self._finetune_lip_flag
         if lip_active and self._finetune_lip_flag:
             inds = self._lip_window_indices(idx)
-            n = len(inds)
         else:
-            n = self.task_cfg.n_rays
-            inds = self.np_rng.randint(0, H * W, size=n)
-
-        from genefaceplusplus_tpu.utils.rays import pixel_rays_jit
-
-        pose = jnp.asarray(ds.frame_pose(idx)[None])
-        rays_o, rays_d, _ = pixel_rays_jit(pose, ds.intrinsics, H, W, inds[None])
-
-        gt = ds.load_image(idx, "gt")
-        if gt is None:
-            gt = ds.bg_img
-        gt_flat = gt.reshape(-1, 3)[inds]
-        # head renders over the torso-composited background when the
-        # segmentation step prepared torso images (dataset_utils.py:400-412)
-        bg = ds.frame_bg_torso(idx)
-        if bg is None:
-            bg = ds.bg_img
-        bg_flat = bg.reshape(-1, 3)[inds]
-        face_mask = self._face_mask(idx).reshape(-1)[inds]
-
-        batch = {
-            "rays_o": rays_o[0],
-            "rays_d": rays_d[0],
-            "cond": jnp.asarray(ds.frame_cond_window(idx)),
-            "gt_rgb": jnp.asarray(gt_flat),
-            "bg_color": jnp.asarray(bg_flat),
-            "face_mask": jnp.asarray(face_mask),
-            "idx": idx,
-            "eye_area_percent": jnp.asarray(ds.eye_area_percents[idx : idx + 1]),
+            inds = self.np_rng.randint(0, H * W, size=self.task_cfg.n_rays)
+        return {
+            "frame_idx": idx,
+            "inds": inds.astype(np.int32),
+            "_is_lip": bool(lip_active and self._finetune_lip_flag),
         }
-        batch["_is_lip"] = bool(lip_active and self._finetune_lip_flag) if lip_active else False
-        return batch
 
     # ------------------------------------------------------------------
     def _make_lip_step(self):
@@ -241,7 +289,10 @@ class HeadNeRFTask:
             return total, {"mse_loss": mse, "lpips_loss": lp,
                            "head_psnr": L.mse2psnr(mse), "total_loss": total}
 
-        def step(state: TrainState, batch, occupancy):
+        gather = self._make_ray_gather()
+
+        def step(state: TrainState, frames, idx, inds, occupancy):
+            batch = gather(frames, idx, inds)
             rng, sub = jax.random.split(state.rng)
             noise = jax.random.uniform(sub, batch["rays_o"].shape[:1]) if opts.perturb else None
             (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -255,12 +306,15 @@ class HeadNeRFTask:
         return jax.jit(step)
 
     def train_step(self, state: TrainState, batch):
+        frames = self._device_frames()
+        idx = jnp.asarray(batch["frame_idx"], jnp.int32)
+        inds = jnp.asarray(batch["inds"], jnp.int32)
         if batch.pop("_is_lip", False):
             if self._lip_step is None:
                 self._lip_step = self._make_lip_step()
-            state, metrics = self._lip_step(state, batch, self.occupancy)
+            state, metrics = self._lip_step(state, frames, idx, inds, self.occupancy)
         else:
-            state, metrics = self._train_step(state, batch, self.occupancy)
+            state, metrics = self._train_step(state, frames, idx, inds, self.occupancy)
         metrics.update(self.grid_telemetry)
         return state, metrics
 
@@ -311,23 +365,38 @@ class HeadNeRFTask:
         ds_val = self.val_dataset if self.val_dataset is not None else self.dataset
         from genefaceplusplus_tpu.utils.rays import pixel_rays_jit
 
+        if not hasattr(self, "_jit_val_render"):
+            model, cfg = self.model, self.cfg
+            v_opts = dataclasses.replace(self.opts, perturb=False)
+
+            def val_fn(params, rays_o, rays_d, cond, eye, ind_idx, occupancy, bg):
+                cond_feat = model.apply(params, cond, eye, method=RADNeRF.cal_cond_feat)
+                ind = model.apply(params, ind_idx, method=RADNeRF.get_individual_code)
+
+                def field_fn(xyz, dirs):
+                    return model.apply(params, xyz, dirs, cond_feat, ind,
+                                       method=RADNeRF.field)
+
+                return render_rays(field_fn, rays_o, rays_d, occupancy,
+                                   bound=cfg.bound, min_near=cfg.min_near,
+                                   bg_color=bg, opts=v_opts)
+
+            self._jit_val_render = jax.jit(val_fn)
+
         psnrs = []
         for i in range(min(max_frames, len(ds_val))):
             pose = jnp.asarray(ds_val.frame_pose(i)[None])
             rays_o, rays_d, _ = pixel_rays_jit(pose, ds_val.intrinsics, ds_val.H, ds_val.W)
             cond = jnp.asarray(ds_val.frame_cond_window(i))
-            params = state.params
-            cond_feat = self.model.apply(params, cond, method=RADNeRF.cal_cond_feat)
-            ind = self.model.apply(params, 0, method=RADNeRF.get_individual_code)
-
-            def field_fn(xyz, dirs):
-                return self.model.apply(params, xyz, dirs, cond_feat, ind, method=RADNeRF.field)
-
-            out = render_rays(
-                field_fn, rays_o[0], rays_d[0], self.occupancy,
-                bound=self.cfg.bound, min_near=self.cfg.min_near,
-                bg_color=jnp.asarray(ds_val.bg_img.reshape(-1, 3)),
-                opts=dataclasses.replace(self.opts, perturb=False),
+            # the val frame's OWN blink condition and individual code — the
+            # embedding table covers the full timeline (reference eval
+            # passes the frame idx, radnerf.py:199)
+            gid = min(int(ds_val.frame_ids[i]), self.cfg.individual_embedding_num - 1)
+            out = self._jit_val_render(
+                state.params, rays_o[0], rays_d[0], cond,
+                jnp.asarray(ds_val.eye_area_percents[i : i + 1]),
+                jnp.asarray(max(gid, 0), jnp.int32), self.occupancy,
+                jnp.asarray(ds_val.bg_img.reshape(-1, 3)),
             )
             if save_dir:
                 import os

@@ -361,10 +361,11 @@ class SRHeadNeRFTask(HeadNeRFTask):
             model, sr_model, cfg = self.model, self.sr_model, self.cfg
             opts = dataclasses.replace(self.opts, perturb=False)
 
-            def val_fn(params, rays_o, rays_d, cond, eye, occupancy, bg_color):
+            def val_fn(params, rays_o, rays_d, cond, eye, ind_idx, occupancy, bg_color):
                 cond_feat = model.apply(params["head"], cond, eye,
                                         method=RADNeRF.cal_cond_feat)
-                ind = model.apply(params["head"], 0, method=RADNeRF.get_individual_code)
+                ind = model.apply(params["head"], ind_idx,
+                                  method=RADNeRF.get_individual_code)
 
                 def field_fn(xyz, dirs):
                     return model.apply(params["head"], xyz, dirs, cond_feat, ind,
@@ -383,10 +384,13 @@ class SRHeadNeRFTask(HeadNeRFTask):
                 continue
             pose = jnp.asarray(ds.frame_pose(i)[None])
             rays_o, rays_d, _ = pixel_rays_jit(pose, ds.intrinsics, H, W)
+            gid = max(0, min(int(ds.frame_ids[i]),
+                             self.cfg.individual_embedding_num - 1))
             sr = self._jit_val_sr(
                 state.params, rays_o[0], rays_d[0],
                 jnp.asarray(ds.frame_cond_window(i)),
                 jnp.asarray(ds.eye_area_percents[i : i + 1]),
+                jnp.asarray(gid, jnp.int32),
                 self.occupancy, jnp.asarray(ds.bg_img.reshape(-1, 3)),
             )
             mse = float(np.mean((np.asarray(sr) - gt2x) ** 2))

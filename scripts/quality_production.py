@@ -293,9 +293,12 @@ def stage_eval(args):
         gt2x = va.load_image(i, "gt", full_res=True)
         pose = jnp.asarray(va.frame_pose(i)[None])
         ro, rd, _ = pixel_rays(pose, va.intrinsics, H, W)
+        gid = max(0, min(int(va.frame_ids[i]),
+                         task.cfg.individual_embedding_num - 1))
         sr = np.asarray(task._jit_val_sr(
             state.params, ro[0], rd[0], jnp.asarray(va.frame_cond_window(i)),
-            jnp.asarray(va.eye_area_percents[i:i + 1]), task.occupancy,
+            jnp.asarray(va.eye_area_percents[i:i + 1]),
+            jnp.asarray(gid, jnp.int32), task.occupancy,
             jnp.asarray(va.bg_img.reshape(-1, 3))))
         mse = float(np.mean((sr - gt2x) ** 2))
         sr_psnrs.append(-10 * np.log10(max(mse, 1e-10)))

@@ -123,12 +123,12 @@ def test_lip_finetune_stage(tmp_path):
     # step 1 (global_step=1 > 0): flag toggles True -> lip batch
     b1 = task.sample_train_batch(global_step=1)
     assert b1["_is_lip"] is True
-    assert b1["rays_o"].shape[0] == 16 * 16
+    assert b1["inds"].shape[0] == 16 * 16  # lip window ray indices
     state, m1 = task.train_step(state, b1)
     assert "lpips_loss" in m1 and np.isfinite(float(m1["total_loss"]))
     # next iteration flips back to full-image sampling
     b2 = task.sample_train_batch(global_step=2)
     assert b2["_is_lip"] is False
-    assert b2["rays_o"].shape[0] == 128
+    assert b2["inds"].shape[0] == 128
     state, m2 = task.train_step(state, b2)
     assert "lpips_loss" not in m2
