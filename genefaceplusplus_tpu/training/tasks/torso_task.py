@@ -139,7 +139,10 @@ class TorsoNeRFTask:
                 metrics["total_loss"] = total
             return total, metrics
 
-        def step(state: TorsoTrainState, batch, head_params, occupancy):
+        gather = self._make_gather()
+
+        def step(state: TorsoTrainState, frames, idx, head_params, occupancy):
+            batch = gather(frames, idx)
             (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 state.torso_params, head_params, batch, occupancy
             )
@@ -156,8 +159,67 @@ class TorsoNeRFTask:
         return step
 
     # ------------------------------------------------------------------
+    def _device_frames(self) -> Dict:
+        """Device-resident per-frame store (same rationale as the head/SR
+        tasks, docs/DESIGN.md round-3 log): train batches are gathered on
+        device; the only per-step transfer is the frame index."""
+        if getattr(self, "_dev_frames", None) is not None:
+            return self._dev_frames
+        ds = self.dataset
+        T, H, W = len(ds), ds.H, ds.W
+        gt_l, pose_l, lm_l = [], [], []
+        for i in range(T):
+            gt = ds.load_image(i, "gt")
+            gt = ds.bg_img if gt is None else gt
+            gt_l.append((np.clip(np.round(np.asarray(gt)[..., :3] * 255), 0, 255)
+                         ).astype(np.uint8))
+            pose_l.append(ds.frame_pose(i))
+            lm_l.append(self._frame_lm68(i))
+        self._dev_frames = {
+            "gt": jnp.asarray(np.stack(gt_l)),
+            "poses": jnp.asarray(np.stack(pose_l).astype(np.float32)),
+            "lm68": jnp.asarray(np.stack(lm_l).astype(np.float32)),
+            "conds_all": jnp.asarray(np.asarray(ds.conds_all, np.float32)),
+            "frame_ids": jnp.asarray(np.asarray(ds.frame_ids, np.int32)),
+            "eye": jnp.asarray(np.asarray(ds.eye_area_percents, np.float32)),
+            "bg_color": jnp.asarray(np.asarray(ds.bg_img, np.float32).reshape(-1, 3)),
+            "bg_coords": jnp.asarray(get_bg_coords(H, W)[0]),
+        }
+        return self._dev_frames
+
+    def _make_gather(self):
+        ds = self.dataset
+        H, W = ds.H, ds.W
+        T_all = len(ds.conds_all)
+        intr = tuple(float(x) for x in np.asarray(ds.intrinsics).reshape(-1))
+        smo = ds.smo_win_size
+
+        def gather(frames, idx):
+            from genefaceplusplus_tpu.utils.rays import pixel_rays
+
+            rays_o, rays_d, _ = pixel_rays(frames["poses"][idx][None], intr, H, W)
+            g = frames["frame_ids"][idx]
+            rel = jnp.arange(smo) - smo // 2
+            offs = jnp.clip(g + rel, 0, T_all - 1)
+            valid = ((g + rel) >= 0) & ((g + rel) < T_all)
+            cond = frames["conds_all"][offs] * valid[:, None, None]
+            return {
+                "rays_o": rays_o[0],
+                "rays_d": rays_d[0],
+                "cond": cond,
+                "gt_rgb": frames["gt"][idx].astype(jnp.float32).reshape(-1, 3) / 255.0,
+                "bg_color": frames["bg_color"],
+                "bg_coords": frames["bg_coords"],
+                "lm68": frames["lm68"][idx],
+                "idx": idx,
+                "eye_area_percent": frames["eye"][idx][None],
+            }
+
+        return gather
+
     def sample_train_batch(self) -> Dict:
-        return self.sample_frame_batch(int(self.np_rng.randint(len(self.dataset))))
+        self._device_frames()  # built once, before the first step
+        return {"frame_idx": int(self.np_rng.randint(len(self.dataset)))}
 
     def _frame_lm68(self, idx: int) -> np.ndarray:
         """Projected 2D lm68 for torso conditioning (the reference uses the
@@ -192,7 +254,9 @@ class TorsoNeRFTask:
         }
 
     def train_step(self, state, batch):
-        return self._train_step(state, batch, self.head_params, self.occupancy)
+        frames = self._device_frames()
+        idx = jnp.asarray(batch["frame_idx"], jnp.int32)
+        return self._train_step(state, frames, idx, self.head_params, self.occupancy)
 
     def update_extra_state(self, state):
         ds = self.dataset
