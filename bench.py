@@ -114,7 +114,8 @@ def bench_full(n_frames: int = 50):
     # + 10-sample budget, bit-identical to 16-sample AABB-entry renders on
     # trained identities (tests/test_entry_probe.py, docs/DESIGN.md)
     opts = RenderOptions(num_samples=10, T_thresh=1e-2, march_mode="interval",
-                         entry_mode="probe")
+                         entry_mode="probe",
+                         color_topk=int(os.environ.get("BENCH_TOPK", "0")))
 
     # every array is a jit ARGUMENT: arrays captured as closure constants
     # get constant-folded by XLA at compile time, which blows the compile

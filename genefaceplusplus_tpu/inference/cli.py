@@ -39,6 +39,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="auto | off (SR only the changing region; SR(bg) precomputed)")
     p.add_argument("--frames_per_dispatch", type=int, default=8,
                    help="frames rendered per device dispatch (lax.scan chunk)")
+    p.add_argument("--color_topk", type=int, default=0,
+                   help="color MLP on only the K highest-weight samples/ray "
+                        "(0 = all; approximation — A/B per identity)")
     p.add_argument("--n_devices", type=int, default=1,
                    help="shard each frame's rays over this many chips "
                         "(jax.sharding Mesh 'rays' axis; 1 = single chip)")
@@ -81,6 +84,7 @@ def main(argv=None):
         "torso_crop": args.torso_crop,
         "sr_crop": args.sr_crop,
         "frames_per_dispatch": args.frames_per_dispatch,
+        "color_topk": args.color_topk,
     }
     out = infer.infer_once(inp)
     print(f"wrote {out}")

@@ -676,6 +676,9 @@ class GeneFaceInfer:
             num_samples=int(inp.get("num_samples", 10)),
             T_thresh=float(inp.get("T_thresh", 1e-2)),
             entry_mode=str(inp.get("entry_mode", "probe")),
+            # 0 = off; K>0 runs the color MLP on only the K highest-weight
+            # samples per ray (approximation — validate per identity)
+            color_topk=int(inp.get("color_topk", 0)),
         )
         chunk = int(inp.get("frames_per_dispatch", 8))
         chunk = max(1, min(chunk, T))
@@ -686,6 +689,7 @@ class GeneFaceInfer:
         # (tests/test_entry_probe.py) — always announce the active budget so
         # a quality regression on a new identity is traceable to it
         print(f"| render: entry_mode={opts.entry_mode} num_samples={opts.num_samples} "
+              f"color_topk={opts.color_topk} "
               f"T_thresh={opts.T_thresh} head_crop={head_crop} torso_crop={torso_crop} "
               f"sr_crop={'on' if sr_crop else None} "
               f"mesh={self.mesh.shape if self.mesh is not None else None}")

@@ -311,6 +311,13 @@ def render_full_frame(
     def field_fn(xyz, dirs):
         return head_model.apply(head_params, xyz, dirs, cond_feat, ind_code, method=RADNeRF.field)
 
+    # split-stage closures for opts.color_topk (top-K color compaction)
+    def sigma_fn(xyz):
+        return head_model.apply(head_params, xyz, cond_feat, method=RADNeRF.field_sigma)
+
+    def color_fn(geo_feat, dirs):
+        return head_model.apply(head_params, geo_feat, dirs, ind_code, method=RADNeRF.field_color)
+
     H, W = image_hw
     if head_crop is not None and tuple(head_crop) != (H, W):
         # fixed-size crop, dynamic offset: head rays outside the occupied
@@ -328,6 +335,7 @@ def render_full_frame(
             field_fn, ro_c, rd_c, occupancy,
             bound=cfg.bound, min_near=cfg.min_near,
             bg_color=0.0, opts=opts, image_hw=(ch, cw),
+            sigma_fn=sigma_fn, color_fn=color_fn,
         )
         head_image = jax.lax.dynamic_update_slice(
             jnp.zeros((H, W, 3), crop_out.head_image.dtype),
@@ -352,6 +360,7 @@ def render_full_frame(
             bg_color=0.0,  # defer background blending to the torso composite
             opts=opts,
             image_hw=image_hw,
+            sigma_fn=sigma_fn, color_fn=color_fn,
         )
     head_image = head_out.head_image
     weights_sum = head_out.weights_sum

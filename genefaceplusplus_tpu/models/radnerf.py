@@ -204,13 +204,15 @@ class RADNeRF(nn.Module):
             feat = self.cond_att_net(feat).reshape(1, -1)  # [1, C]
         return feat
 
-    def field(
+    def field_sigma(
         self,
         position: jnp.ndarray,  # [N, 3] in [-bound, bound]
-        direction: jnp.ndarray,  # [N, 3] unit
         cond_feat: jnp.ndarray,  # [1, cond_out_dim]
-        ind_code: Optional[jnp.ndarray] = None,  # [ind_dim]
     ):
+        """Geometry stage: sigma + geo features (no color MLP).
+
+        Split out so the renderer's top-K color compaction can run the
+        color MLP on only the K highest-weight samples per ray."""
         c = self.cfg
         N = position.shape[0]
         pos_feat = self.position_embedder(position, bound=c.bound)
@@ -225,13 +227,32 @@ class RADNeRF(nn.Module):
         h = self.sigma_net(h)
         sigma = trunc_exp(h[..., 0])
         geo_feat = h[..., 1:]
+        return sigma, geo_feat, ambient_pos
 
+    def field_color(
+        self,
+        geo_feat: jnp.ndarray,  # [N, geo_feat_dim]
+        direction: jnp.ndarray,  # [N, 3] unit
+        ind_code: Optional[jnp.ndarray] = None,  # [ind_dim]
+    ) -> jnp.ndarray:
+        """Appearance stage: view-dependent color from geometry features."""
+        N = geo_feat.shape[0]
         dir_feat = sh_encode(direction, degree=4)
         parts = [dir_feat, geo_feat]
         if ind_code is not None:
             parts.append(jnp.broadcast_to(ind_code.reshape(1, -1), (N, ind_code.size)))
         color_logit = self.color_net(jnp.concatenate(parts, axis=-1))
-        color = nn.sigmoid(color_logit)
+        return nn.sigmoid(color_logit)
+
+    def field(
+        self,
+        position: jnp.ndarray,  # [N, 3] in [-bound, bound]
+        direction: jnp.ndarray,  # [N, 3] unit
+        cond_feat: jnp.ndarray,  # [1, cond_out_dim]
+        ind_code: Optional[jnp.ndarray] = None,  # [ind_dim]
+    ):
+        sigma, geo_feat, ambient_pos = self.field_sigma(position, cond_feat)
+        color = self.field_color(geo_feat, direction, ind_code)
         return sigma, color, ambient_pos
 
     def density(self, position: jnp.ndarray, cond_feat: jnp.ndarray) -> jnp.ndarray:

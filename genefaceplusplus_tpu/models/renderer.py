@@ -46,6 +46,12 @@ class RenderOptions:
     probe_stride: int = 4
     probe_coarse_factor: int = 4
     n_probe: int = 32
+    # 0 = evaluate the color MLP on all S samples. K in (0, S): evaluate
+    # color only on the K highest-composite-weight samples per ray (the
+    # geometry stage still runs on all S); the image renormalises by the
+    # captured-weight fraction. Inference-only approximation (ROADMAP #5);
+    # requires sigma_fn/color_fn at the render_rays call.
+    color_topk: int = 0
 
 
 class RenderOutput(NamedTuple):
@@ -74,6 +80,8 @@ def render_rays(
     opts: RenderOptions,
     noise: Optional[jnp.ndarray] = None,  # [R] in [0,1) for perturb
     image_hw: Optional[tuple] = None,  # enables entry_mode='probe'
+    sigma_fn=None,  # (xyz [M,3]) -> (sigma [M], geo_feat [M,G], amb [M,D])
+    color_fn=None,  # (geo_feat [M,G], dirs [M,3]) -> rgb [M,3]
 ) -> RenderOutput:
     """Render a batch of rays through a conditioned field.
 
@@ -82,6 +90,9 @@ def render_rays(
         The caller closes over cond_feat/ind_code (they are per-frame).
       image_hw: (H, W) of the image-ordered ray grid; required when
         opts.entry_mode == 'probe' (the prepass subsamples the ray grid).
+      sigma_fn/color_fn: split-stage field (RADNeRF.field_sigma/field_color
+        closures) enabling opts.color_topk — the color MLP then runs on
+        only the K highest-weight samples per ray.
     """
     R = rays_o.shape[0]
     S = opts.num_samples
@@ -119,19 +130,52 @@ def render_rays(
         )
 
     xyz = m.xyzs.reshape(R * S, 3)
-    dirs = jnp.broadcast_to(rays_d[:, None, :], (R, S, 3)).reshape(R * S, 3)
-    sigma, rgb, ambient_pos = field_fn(xyz, dirs)
+    K = opts.color_topk
+    if 0 < K < S and sigma_fn is not None and color_fn is not None:
+        # top-K color compaction: geometry on all S samples, color MLP on
+        # only the K highest-weight samples per ray; the image renormalises
+        # by the captured-weight fraction (exact when the top-K carry all
+        # surviving weight, which per-identity telemetry must confirm).
+        import jax
 
-    amb_abs = jnp.abs(ambient_pos).sum(-1).reshape(R, S)
-    comp = composite_ops.composite_rays(
-        sigma.reshape(R, S),
-        rgb.reshape(R, S, 3),
-        amb_abs,
-        m.deltas,
-        m.ts,
-        m.mask,
-        T_thresh=opts.T_thresh,
-    )
+        sigma, geo_feat, ambient_pos = sigma_fn(xyz)
+        sigma = sigma.reshape(R, S)
+        w_full, keep = composite_ops.composite_weights(
+            sigma, m.deltas, m.mask, T_thresh=opts.T_thresh
+        )
+        w_k, idx_k = jax.lax.top_k(w_full, K)  # [R, K]
+        geo_k = jnp.take_along_axis(
+            geo_feat.reshape(R, S, -1), idx_k[..., None], axis=1
+        ).reshape(R * K, -1)
+        dirs_k = jnp.broadcast_to(rays_d[:, None, :], (R, K, 3)).reshape(R * K, 3)
+        rgb_k = color_fn(geo_k, dirs_k).reshape(R, K, 3)
+
+        weights_sum = w_full.sum(axis=-1)
+        capture = w_k.sum(axis=-1)
+        scale = jnp.where(capture > 1e-8, weights_sum / jnp.maximum(capture, 1e-8), 0.0)
+        image_pre = (w_k[..., None] * rgb_k).sum(axis=-2) * scale[..., None]
+        amb_abs = jnp.abs(ambient_pos).sum(-1).reshape(R, S)
+        comp = composite_ops.CompositeResult(
+            weights_sum=weights_sum,
+            ambient_sum=(amb_abs * keep).sum(axis=-1),
+            depth=(w_full * m.ts).sum(axis=-1),
+            image=image_pre,
+            weights=w_full,
+        )
+    else:
+        dirs = jnp.broadcast_to(rays_d[:, None, :], (R, S, 3)).reshape(R * S, 3)
+        sigma, rgb, ambient_pos = field_fn(xyz, dirs)
+
+        amb_abs = jnp.abs(ambient_pos).sum(-1).reshape(R, S)
+        comp = composite_ops.composite_rays(
+            sigma.reshape(R, S),
+            rgb.reshape(R, S, 3),
+            amb_abs,
+            m.deltas,
+            m.ts,
+            m.mask,
+            T_thresh=opts.T_thresh,
+        )
 
     image = composite_ops.blend_background(comp.image, comp.weights_sum, bg_color)
     depth = composite_ops.normalize_depth(comp.depth, nears, fars)

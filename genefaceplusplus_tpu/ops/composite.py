@@ -55,6 +55,27 @@ def composite_rays(
     return CompositeResult(weights_sum, ambient_sum, depth, image, w)
 
 
+def composite_weights(
+    sigmas: jnp.ndarray,  # [R, S]
+    deltas: jnp.ndarray,  # [R, S]
+    mask: jnp.ndarray,  # [R, S] bool
+    T_thresh: float = 1e-4,
+):
+    """Composite weights only (no colors): w_i = alpha_i * T_i * keep_i.
+
+    Same math as composite_rays; used by the top-K color-compaction path
+    (renderer.py) which needs the weights BEFORE deciding which samples
+    get a color evaluation. Returns (weights [R,S], keep [R,S])."""
+    sigmas = jnp.where(mask, sigmas, 0.0)
+    alphas = 1.0 - jnp.exp(-sigmas * deltas)
+    one_minus = 1.0 - alphas
+    T = jnp.cumprod(
+        jnp.concatenate([jnp.ones_like(one_minus[:, :1]), one_minus[:, :-1]], axis=1), axis=1
+    )
+    keep = (T >= T_thresh) & mask
+    return alphas * T * keep, keep
+
+
 def blend_background(image: jnp.ndarray, weights_sum: jnp.ndarray, bg_color) -> jnp.ndarray:
     """image += (1 - weights_sum) * bg; clamp to [0,1] (renderer.py:386-391)."""
     out = image + (1.0 - weights_sum)[..., None] * bg_color
