@@ -9,7 +9,7 @@ stop_gradient), torso losses mse + alpha entropy + L1 deform regularisation
 
 from __future__ import annotations
 
-from typing import Dict
+from typing import Dict, Optional
 
 import flax.struct
 import jax
@@ -82,6 +82,14 @@ class TorsoNeRFTask:
                     self.density_grid = jnp.asarray(extra["density_grid"])
                 state = ckpt.get("state_dict", ckpt)
                 state = state.get("params", state)
+                # head_model_dir may hold an SR-stage checkpoint whose params
+                # nest as {"head": ..., "sr": ...} (sr_task.py:128) — the
+                # reference torso stage likewise loads the RADNeRFwithSR head
+                # ckpt (radnerf_torso_sr.py:65-73); the torso only needs the
+                # head subtree
+                inner = state.get("params", state)
+                if isinstance(inner, dict) and "head" in inner:
+                    state = {"params": inner["head"]} if "params" in state else inner["head"]
                 return restore_into(template, state)
         return template
 
@@ -221,11 +229,11 @@ class TorsoNeRFTask:
         self._device_frames()  # built once, before the first step
         return {"frame_idx": int(self.np_rng.randint(len(self.dataset)))}
 
-    def _frame_lm68(self, idx: int) -> np.ndarray:
+    def _frame_lm68(self, idx: int, ds: Optional[RADNeRFDataset] = None) -> np.ndarray:
         """Projected 2D lm68 for torso conditioning (the reference uses the
         jaw points of the projected lm68, radnerf_torso_sr.py:86-87); falls
         back to canonical xy when no 2D landmarks are stored."""
-        ds = self.dataset
+        ds = self.dataset if ds is None else ds
         lms = ds.samples[idx].get("lms")
         if lms is not None:
             return np.asarray(lms, np.float32)[None]

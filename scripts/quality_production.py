@@ -125,6 +125,51 @@ def stage_train(args):
     print(f"| {args.variant} {args.steps} steps in {(time.time() - t0) / 60:.1f} min")
 
 
+def _torso_cfg(variant: str) -> dict:
+    return {
+        "task_cls": "torso", "with_sr": True, "grid_type": variant,
+        "binary_data_dir": DATA_DIR, "video_id": "synth512",
+        "smo_win_size": 3, "cond_win_size": 1, "add_eye_blink_cond": True,
+        "grid_size": 128, "individual_embedding_num": 450,
+        "torso_individual_embedding_dim": 8, "torso_head_aware": True,
+        "lr": 5e-4, "max_steps": 16,
+        "lambda_weights_entropy": 1e-4, "lambda_torso_deform": 1e-3,
+        "head_model_dir": workdir(variant),
+    }
+
+
+def stage_train_torso(args):
+    """Torso stage on top of the trained (frozen) head — the reference's
+    torso_train_and_infer.sh step 2 (radnerf_torso_sr.py) at the same
+    production budget: full 256² frames, head restored from the SR ckpt."""
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from genefaceplusplus_tpu.config import Config
+    from genefaceplusplus_tpu.models.renderer import RenderOptions
+    from genefaceplusplus_tpu.training.tasks.torso_task import TorsoNeRFTask
+    from genefaceplusplus_tpu.training.trainer import Trainer
+
+    tr, va = _load_datasets()
+    cfg = Config(_torso_cfg(args.variant))
+    task = TorsoNeRFTask(tr, _model_cfg(args.variant, len(tr) + len(va)), cfg)
+    task.opts = RenderOptions(max_steps=16, num_coarse=48, num_samples=16,
+                              perturb=False)
+    task._train_step = jax.jit(task._make_step())  # re-jit with the opts above
+    trainer = Trainer(
+        task, workdir(args.variant) + "_torso", config=cfg,
+        max_updates=args.steps,
+        val_check_interval=args.val_interval,
+        tb_log_interval=100,
+        num_ckpt_keep=2,
+        update_extra_interval=16,
+    )
+    t0 = time.time()
+    trainer.fit(resume=not args.reset)
+    print(f"| torso({args.variant}) {args.steps} steps in {(time.time() - t0) / 60:.1f} min")
+
+
 def stage_measure(args):
     """Per-variant step time at the production budget (sizes the runs)."""
     import jax
@@ -332,6 +377,119 @@ def stage_eval(args):
         json.dump(res, f, indent=2)
 
 
+def stage_eval_torso(args):
+    """Flagship-composite eval: trained head (frozen) + trained torso + 2x SR
+    -> 512² on every held-out frame; PSNR + LMD + side-by-side clip. This is
+    the production inference composition (models/full_renderer.py), i.e. the
+    path GeneFaceInfer ships."""
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+    import numpy as np
+
+    from genefaceplusplus_tpu.config import Config
+    from genefaceplusplus_tpu.models.full_renderer import render_full_frame
+    from genefaceplusplus_tpu.models.renderer import RenderOptions
+    from genefaceplusplus_tpu.models.superresolution import Superresolution
+    from genefaceplusplus_tpu.training.tasks.torso_task import TorsoNeRFTask
+    from genefaceplusplus_tpu.utils.ckpt import get_last_checkpoint, restore_into
+    from genefaceplusplus_tpu.utils.rays import get_bg_coords, pixel_rays
+
+    tr, va = _load_datasets()
+    cfg = Config(_torso_cfg(args.variant))
+    task = TorsoNeRFTask(tr, _model_cfg(args.variant, len(tr) + len(va)), cfg)
+    task.opts = RenderOptions(max_steps=16, num_coarse=48, num_samples=16)
+
+    # torso params + 2D occupancy grid from the torso stage ckpt
+    tckpt, tpath = get_last_checkpoint(workdir(args.variant) + "_torso")
+    assert tckpt is not None, f"no torso ckpt in {workdir(args.variant)}_torso"
+    tstate = tckpt["state_dict"]
+    torso_params = restore_into(
+        task.torso_model.init(
+            jax.random.PRNGKey(0), jnp.zeros((8, 2)), jnp.zeros((1, 68, 2)),
+            jnp.zeros(task.torso_cfg.torso_individual_embedding_dim),
+            jnp.zeros((8, 3)), jnp.zeros((8, 1))),
+        tstate["torso_params"])
+    task.load_extra_state(tckpt.get("extra_state", {}))
+    print(f"| torso ckpt @ step {int(tckpt['global_step'])}: {tpath}")
+
+    # SR params from the head-stage (SR task) ckpt
+    hckpt, _ = get_last_checkpoint(workdir(args.variant))
+    sr_model = Superresolution(channels=3, input_resolution=tr.H,
+                               dtype=jnp.bfloat16)
+    sr_params = hckpt["state_dict"]["params"]["sr"]
+
+    H, W = va.H, va.W
+    bg_coords = jnp.asarray(get_bg_coords(H, W)[0])
+    bg_color = jnp.asarray(np.asarray(tr.bg_img, np.float32).reshape(-1, 3))
+
+    # every array is a jit ARGUMENT (numpy ckpt leaves closed over would be
+    # constant-folded / break tracer indexing — the bench round-1 pathology)
+    @jax.jit
+    def render(hp_, tp_, sp_, occ_, grid2d_, bgc_, ro, rd, cond, eye, gid, lm68):
+        out = render_full_frame(
+            task.head_model, hp_, ro, rd, cond, occ_,
+            bg_color=bgc_, opts=task.opts, image_hw=(H, W),
+            eye_area_percent=eye, index=gid,
+            torso_model=task.torso_model, torso_params=tp_,
+            bg_coords=bg_coords, lm68=lm68,
+            occupancy_2d=grid2d_,
+            mean_density_torso=task.mean_density_torso,
+            sr_model=sr_model, sr_params=sp_,
+        )
+        return out.sr_rgb_map, out.rgb_map
+
+    renders, gts, lms = [], [], []
+    sr_psnrs, raw_psnrs = [], []
+    for i in range(len(va)):
+        gt2x = va.load_image(i, "gt", full_res=True)
+        gt = va.load_image(i, "gt")
+        pose = jnp.asarray(va.frame_pose(i)[None])
+        ro, rd, _ = pixel_rays(pose, va.intrinsics, H, W)
+        gid = max(0, min(int(va.frame_ids[i]),
+                         task.head_cfg.individual_embedding_num - 1))
+        sr, raw = render(
+            task.head_params, torso_params, sr_params,
+            task.occupancy, task.torso_grid, bg_color,
+            ro[0], rd[0], jnp.asarray(va.frame_cond_window(i)),
+            jnp.asarray(va.eye_area_percents[i:i + 1]),
+            jnp.asarray(gid, jnp.int32),
+            jnp.asarray(task._frame_lm68(i, va), jnp.float32))
+        sr = np.asarray(sr, np.float32)
+        mse = float(np.mean((sr - gt2x) ** 2))
+        sr_psnrs.append(-10 * np.log10(max(mse, 1e-10)))
+        mse_r = float(np.mean((np.asarray(raw).reshape(H, W, 3) - gt) ** 2))
+        raw_psnrs.append(-10 * np.log10(max(mse_r, 1e-10)))
+        renders.append((np.clip(sr, 0, 1) * 255).astype(np.uint8))
+        gts.append((np.asarray(gt2x) * 255).astype(np.uint8))
+        lms.append(va.samples[i]["lms"])
+
+    res = {
+        "variant": args.variant + "+torso",
+        "torso_step": int(tckpt["global_step"]),
+        "val_sr_psnr_512_composite": round(float(np.mean(sr_psnrs)), 2),
+        "val_raw_psnr_composite": round(float(np.mean(raw_psnrs)), 2),
+        "n_val_frames": len(va),
+    }
+    if os.path.exists(DETECTOR):
+        res["val_lmd_px_512"] = round(detect_lmd(renders, np.stack(lms)), 2)
+        res["lmd_floor_px_512"] = round(detect_lmd(gts, np.stack(lms)), 2)
+    if args.clip:
+        from genefaceplusplus_tpu.data.video import StreamingVideoWriter
+
+        os.makedirs(os.path.dirname(args.clip), exist_ok=True)
+        wtr = StreamingVideoWriter(args.clip, fps=25)
+        for g, r in zip(gts, renders):
+            wtr.append(np.concatenate([g, r], axis=1).astype(np.float32) / 255.0)
+        wtr.close()
+        res["clip"] = args.clip
+    print(json.dumps(res))
+    with open(os.path.join(workdir(args.variant) + "_torso", "quality_eval.json"), "w") as f:
+        json.dump(res, f, indent=2)
+
+
 def main():
     p = argparse.ArgumentParser()
     sub = p.add_subparsers(dest="stage", required=True)
@@ -345,14 +503,23 @@ def main():
     t.add_argument("--steps", type=int, default=50_000)
     t.add_argument("--val_interval", type=int, default=2500)
     t.add_argument("--reset", action="store_true")
+    tt = sub.add_parser("train-torso")
+    tt.add_argument("--variant", type=str, required=True)
+    tt.add_argument("--steps", type=int, default=25_000)
+    tt.add_argument("--val_interval", type=int, default=2500)
+    tt.add_argument("--reset", action="store_true")
     l = sub.add_parser("lmd")
     l.add_argument("--iters", type=int, default=3000)
     e = sub.add_parser("eval")
     e.add_argument("--variant", type=str, required=True)
     e.add_argument("--clip", type=str, default="")
+    et = sub.add_parser("eval-torso")
+    et.add_argument("--variant", type=str, required=True)
+    et.add_argument("--clip", type=str, default="")
     args = p.parse_args()
     {"gen": stage_gen, "measure": stage_measure, "train": stage_train,
-     "lmd": stage_lmd, "eval": stage_eval}[args.stage](args)
+     "train-torso": stage_train_torso, "lmd": stage_lmd, "eval": stage_eval,
+     "eval-torso": stage_eval_torso}[args.stage](args)
 
 
 if __name__ == "__main__":
