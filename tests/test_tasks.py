@@ -176,3 +176,42 @@ def test_eg3d_camera_convention():
     np.testing.assert_allclose(K[2, 2], 1.0)
     # camera sits at ~2.7*0.27-ish radius in front of the face
     assert 0.5 < np.linalg.norm(pose[:3, 3]) < 5.0
+
+def test_torso_load_head_from_sr_checkpoint(tmp_path):
+    """head_model_dir may hold an SR-stage ckpt whose params nest as
+    {"head": ..., "sr": ...} (sr_task.py create_state); the torso stage must
+    restore the head subtree + occupancy, like the reference torso task
+    loading the RADNeRFwithSR head ckpt (radnerf_torso_sr.py:65-73)."""
+    from genefaceplusplus_tpu.training.tasks.torso_task import TorsoNeRFTask
+    from genefaceplusplus_tpu.utils.ckpt import save_checkpoint
+
+    ds = RADNeRFDataset(synthetic(num_frames=8, H=16, W=16), split="train",
+                        smo_win_size=3, with_sr=False)
+    mcfg = _tiny_model_cfg()
+
+    # fabricate an SR-task-shaped checkpoint with recognisable head params
+    from genefaceplusplus_tpu.models.radnerf import RADNeRF
+
+    model = RADNeRF(mcfg)
+    cond = jnp.zeros((mcfg.smo_win_size, mcfg.cond_win_size, mcfg.cond_in_dim))
+    head_params = model.init(jax.random.PRNGKey(42), jnp.zeros((8, 3)),
+                             jnp.ones((8, 3)), cond)
+    head_params = jax.tree.map(lambda x: x + 0.5, head_params)
+    occ = np.zeros((16, 16, 16), bool)
+    occ[4:12, 4:12, 4:12] = True
+    save_checkpoint(
+        str(tmp_path / "head_sr"), 7,
+        {"state_dict": {"params": {"head": head_params, "sr": {"w": jnp.ones(3)}}},
+         "extra_state": {"occupancy": occ, "density_grid": np.ones((16,) * 3)}},
+    )
+
+    cfg = Config({
+        "torso_individual_embedding_dim": 4, "individual_embedding_num": 16,
+        "lr": 1e-3, "max_steps": 8,
+        "head_model_dir": str(tmp_path / "head_sr"),
+    })
+    task = TorsoNeRFTask(ds, mcfg, cfg)
+    got = jax.tree.leaves(task.head_params)
+    want = jax.tree.leaves(head_params)
+    assert all(np.allclose(np.asarray(a), np.asarray(b)) for a, b in zip(got, want))
+    assert np.array_equal(np.asarray(task.occupancy), occ)
