@@ -377,6 +377,90 @@ def stage_eval(args):
         json.dump(res, f, indent=2)
 
 
+def stage_parity(args):
+    """Equal-STEP-budget fourier vs tiledgrid head-to-head at 128² head res
+    (+2x SR -> 256²).
+
+    Why not at the flagship 256²: the tiled hash grid is structurally
+    gather-bound on TPU — measured 63× slower per point and a TPU-worker
+    crash at 256² (docs/QUALITY_PARITY.md round-2 table) — so the reference-
+    parity encoder cannot run the 50k-step 256² schedule in bounded chip
+    time. 128² is the largest operating point where an equal-step comparison
+    is tractable; wall-clock per step is reported so the chip-time trade is
+    explicit."""
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import numpy as np
+
+    from genefaceplusplus_tpu.config import Config
+    from genefaceplusplus_tpu.data.dataset import RADNeRFDataset
+    from genefaceplusplus_tpu.data.synthetic_face import cached_synthetic_face
+    from genefaceplusplus_tpu.training.trainer import Trainer
+
+    data256 = os.path.join(DATA_DIR, f"synth{args.size}", "trainval_dataset.npy")
+    cached_synthetic_face(data256, num_frames=args.frames, size=args.size)
+    tr = RADNeRFDataset(data256, split="train", smo_win_size=3, with_sr=True)
+    va = RADNeRFDataset(data256, split="val", smo_win_size=3, with_sr=True,
+                        smooth_eval_camera=False)
+
+    results = {}
+    for variant in args.variants.split(","):
+        task = _build_task(variant, args.steps, tr, va)
+        wd = os.path.join(WORKROOT, f"synth{args.size}_{variant}")
+        cfg = dict(_train_config(variant))
+        cfg["video_id"] = f"synth{args.size}"
+        trainer = Trainer(
+            task, wd, config=Config(cfg), max_updates=args.steps,
+            val_check_interval=max(500, args.steps // 5),
+            tb_log_interval=100, num_ckpt_keep=1, update_extra_interval=16,
+        )
+        t0 = time.time()
+        state = trainer.fit(resume=not args.reset)
+        wall = time.time() - t0
+
+        # held-out eval: 256² SR PSNR + LMD on every val frame
+        import jax.numpy as jnp
+
+        from genefaceplusplus_tpu.utils.rays import pixel_rays
+
+        task.validate(state, max_frames=1)  # builds _jit_val_sr
+        renders, gts, lms, sr_psnrs = [], [], [], []
+        H, W = va.H, va.W
+        for i in range(len(va)):
+            gt2x = va.load_image(i, "gt", full_res=True)
+            pose = jnp.asarray(va.frame_pose(i)[None])
+            ro, rd, _ = pixel_rays(pose, va.intrinsics, H, W)
+            gid = max(0, min(int(va.frame_ids[i]),
+                             task.cfg.individual_embedding_num - 1))
+            sr = np.asarray(task._jit_val_sr(
+                state.params, ro[0], rd[0], jnp.asarray(va.frame_cond_window(i)),
+                jnp.asarray(va.eye_area_percents[i:i + 1]),
+                jnp.asarray(gid, jnp.int32), task.occupancy,
+                jnp.asarray(va.bg_img.reshape(-1, 3))))
+            mse = float(np.mean((sr - gt2x) ** 2))
+            sr_psnrs.append(-10 * np.log10(max(mse, 1e-10)))
+            renders.append((np.clip(sr, 0, 1) * 255).astype(np.uint8))
+            gts.append((np.asarray(gt2x) * 255).astype(np.uint8))
+            lms.append(va.samples[i]["lms"])
+        res = {
+            "steps": args.steps,
+            "wall_min": round(wall / 60.0, 1),
+            "sec_per_step": round(wall / max(1, args.steps), 3),
+            "val_sr_psnr_256": round(float(np.mean(sr_psnrs)), 2),
+        }
+        if os.path.exists(DETECTOR):
+            res["val_lmd_px_512"] = round(detect_lmd(renders, np.stack(lms)), 2)
+            res["lmd_floor_px_512"] = round(detect_lmd(gts, np.stack(lms)), 2)
+        results[variant] = res
+        print(f"| parity {variant}: {json.dumps(res)}")
+    out = os.path.join(WORKROOT, "parity128_results.json")
+    with open(out, "w") as f:
+        json.dump(results, f, indent=2)
+    print(json.dumps(results))
+
+
 def stage_eval_torso(args):
     """Flagship-composite eval: trained head (frozen) + trained torso + 2x SR
     -> 512² on every held-out frame; PSNR + LMD + side-by-side clip. This is
@@ -516,10 +600,16 @@ def main():
     et = sub.add_parser("eval-torso")
     et.add_argument("--variant", type=str, required=True)
     et.add_argument("--clip", type=str, default="")
+    pa = sub.add_parser("parity")
+    pa.add_argument("--variants", type=str, default="fourier,tiledgrid")
+    pa.add_argument("--steps", type=int, default=2500)
+    pa.add_argument("--frames", type=int, default=450)
+    pa.add_argument("--size", type=int, default=256)
+    pa.add_argument("--reset", action="store_true")
     args = p.parse_args()
     {"gen": stage_gen, "measure": stage_measure, "train": stage_train,
      "train-torso": stage_train_torso, "lmd": stage_lmd, "eval": stage_eval,
-     "eval-torso": stage_eval_torso}[args.stage](args)
+     "eval-torso": stage_eval_torso, "parity": stage_parity}[args.stage](args)
 
 
 if __name__ == "__main__":
