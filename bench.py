@@ -115,7 +115,8 @@ def bench_full(n_frames: int = 50):
     # trained identities (tests/test_entry_probe.py, docs/DESIGN.md)
     opts = RenderOptions(num_samples=10, T_thresh=1e-2, march_mode="interval",
                          entry_mode="probe",
-                         color_topk=int(os.environ.get("BENCH_TOPK", "0")))
+                         color_topk=int(os.environ.get("BENCH_TOPK", "0")),
+                         compact_frac=float(os.environ.get("BENCH_COMPACT", "0")))
 
     # every array is a jit ARGUMENT: arrays captured as closure constants
     # get constant-folded by XLA at compile time, which blows the compile

@@ -42,6 +42,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--color_topk", type=int, default=0,
                    help="color MLP on only the K highest-weight samples/ray "
                         "(0 = all; approximation — A/B per identity)")
+    p.add_argument("--compact_frac", type=float, default=0.0,
+                   help="field on a static budget of frac*rays*samples live "
+                        "slots (0 = all; exact while the identity's live-"
+                        "sample fraction stays below frac)")
     p.add_argument("--n_devices", type=int, default=1,
                    help="shard each frame's rays over this many chips "
                         "(jax.sharding Mesh 'rays' axis; 1 = single chip)")
@@ -85,6 +89,7 @@ def main(argv=None):
         "sr_crop": args.sr_crop,
         "frames_per_dispatch": args.frames_per_dispatch,
         "color_topk": args.color_topk,
+        "compact_frac": args.compact_frac,
     }
     out = infer.infer_once(inp)
     print(f"wrote {out}")

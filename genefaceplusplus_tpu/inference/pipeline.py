@@ -679,6 +679,9 @@ class GeneFaceInfer:
             # 0 = off; K>0 runs the color MLP on only the K highest-weight
             # samples per ray (approximation — validate per identity)
             color_topk=int(inp.get("color_topk", 0)),
+            # 0 = off; f in (0,1) = static live-sample compaction budget
+            # (exact while live fraction < f — validate per identity)
+            compact_frac=float(inp.get("compact_frac", 0.0)),
         )
         chunk = int(inp.get("frames_per_dispatch", 8))
         chunk = max(1, min(chunk, T))
@@ -689,7 +692,7 @@ class GeneFaceInfer:
         # (tests/test_entry_probe.py) — always announce the active budget so
         # a quality regression on a new identity is traceable to it
         print(f"| render: entry_mode={opts.entry_mode} num_samples={opts.num_samples} "
-              f"color_topk={opts.color_topk} "
+              f"color_topk={opts.color_topk} compact_frac={opts.compact_frac} "
               f"T_thresh={opts.T_thresh} head_crop={head_crop} torso_crop={torso_crop} "
               f"sr_crop={'on' if sr_crop else None} "
               f"mesh={self.mesh.shape if self.mesh is not None else None}")

@@ -52,6 +52,16 @@ class RenderOptions:
     # captured-weight fraction. Inference-only approximation (ROADMAP #5);
     # requires sigma_fn/color_fn at the render_rays call.
     color_topk: int = 0
+    # 0 = field on all R*S sample slots. f in (0, 1): evaluate the field on
+    # only a static budget of M = ceil(f*R*S) slots, filled with the LIVE
+    # (marcher-mask) samples via a cumsum compaction — the TPU-native
+    # equivalent of the reference's CUDA stream compaction
+    # (raymarching.cu march_rays_train atomic ray packing): no sort, no
+    # dynamic shapes, one gather in / one scatter out. EXACT whenever the
+    # frame's live-sample count fits the budget (dead slots are masked by
+    # the composite either way); overflow drops the flat-order tail, so f
+    # must exceed the identity's measured live fraction.
+    compact_frac: float = 0.0
 
 
 class RenderOutput(NamedTuple):
@@ -129,7 +139,32 @@ def render_rays(
             noise=noise,
         )
 
-    xyz = m.xyzs.reshape(R * S, 3)
+    N = R * S
+    xyz = m.xyzs.reshape(N, 3)
+    dirs = jnp.broadcast_to(rays_d[:, None, :], (R, S, 3)).reshape(N, 3)
+
+    # static-budget live-sample compaction (opts.compact_frac docstring):
+    # slot j of the compact buffer holds the j-th live sample (flat order);
+    # values scattered back to dead slots are masked by the composite, so
+    # this is exact while the live count fits the budget.
+    src = rank = None
+    cf = opts.compact_frac
+    if 0.0 < cf < 1.0:
+        flat_mask = m.mask.reshape(N)
+        M = min(N, max(512, ((int(cf * N) + 511) // 512) * 512))
+        rank = jnp.cumsum(flat_mask.astype(jnp.int32)) - 1
+        keep_slot = flat_mask & (rank < M)
+        dest = jnp.where(keep_slot, rank, M)  # dead/overflow -> dropped slot
+        src = jnp.zeros((M + 1,), jnp.int32).at[dest].set(
+            jnp.arange(N, dtype=jnp.int32), mode="drop")[:M]
+        # unwritten (pad) slots keep src=0: they re-evaluate sample 0, and
+        # every writer of a duplicated slot writes the same value — exact.
+
+    def _scatter(vals, width=None):
+        if width is None:
+            return jnp.zeros((N,), vals.dtype).at[src].set(vals)
+        return jnp.zeros((N, width), vals.dtype).at[src].set(vals)
+
     K = opts.color_topk
     if 0 < K < S and sigma_fn is not None and color_fn is not None:
         # top-K color compaction: geometry on all S samples, color MLP on
@@ -138,15 +173,30 @@ def render_rays(
         # surviving weight, which per-identity telemetry must confirm).
         import jax
 
-        sigma, geo_feat, ambient_pos = sigma_fn(xyz)
-        sigma = sigma.reshape(R, S)
+        if src is not None:
+            sigma_c, geo_c, amb_c = sigma_fn(xyz[src])
+            sigma = _scatter(sigma_c).reshape(R, S)
+            amb_abs = _scatter(jnp.abs(amb_c).sum(-1)).reshape(R, S)
+            ambient_pos = _scatter(amb_c, amb_c.shape[-1])
+        else:
+            sigma, geo_feat, ambient_pos = sigma_fn(xyz)
+            sigma = sigma.reshape(R, S)
+            amb_abs = jnp.abs(ambient_pos).sum(-1).reshape(R, S)
         w_full, keep = composite_ops.composite_weights(
             sigma, m.deltas, m.mask, T_thresh=opts.T_thresh
         )
         w_k, idx_k = jax.lax.top_k(w_full, K)  # [R, K]
-        geo_k = jnp.take_along_axis(
-            geo_feat.reshape(R, S, -1), idx_k[..., None], axis=1
-        ).reshape(R * K, -1)
+        if src is not None:
+            # geo features live in the compact buffer; a top-K sample is
+            # live (w>0) so rank[] is its compact position (zero-weight
+            # picks gather arbitrary finite rows that the w_k factor kills)
+            n_flat = (jnp.arange(R, dtype=jnp.int32)[:, None] * S + idx_k).reshape(-1)
+            cpos = jnp.clip(rank[n_flat], 0, src.shape[0] - 1)
+            geo_k = geo_c[cpos]
+        else:
+            geo_k = jnp.take_along_axis(
+                geo_feat.reshape(R, S, -1), idx_k[..., None], axis=1
+            ).reshape(R * K, -1)
         dirs_k = jnp.broadcast_to(rays_d[:, None, :], (R, K, 3)).reshape(R * K, 3)
         rgb_k = color_fn(geo_k, dirs_k).reshape(R, K, 3)
 
@@ -154,7 +204,6 @@ def render_rays(
         capture = w_k.sum(axis=-1)
         scale = jnp.where(capture > 1e-8, weights_sum / jnp.maximum(capture, 1e-8), 0.0)
         image_pre = (w_k[..., None] * rgb_k).sum(axis=-2) * scale[..., None]
-        amb_abs = jnp.abs(ambient_pos).sum(-1).reshape(R, S)
         comp = composite_ops.CompositeResult(
             weights_sum=weights_sum,
             ambient_sum=(amb_abs * keep).sum(axis=-1),
@@ -163,10 +212,16 @@ def render_rays(
             weights=w_full,
         )
     else:
-        dirs = jnp.broadcast_to(rays_d[:, None, :], (R, S, 3)).reshape(R * S, 3)
-        sigma, rgb, ambient_pos = field_fn(xyz, dirs)
+        if src is not None:
+            sigma_c, rgb_c, amb_c = field_fn(xyz[src], dirs[src])
+            sigma = _scatter(sigma_c)
+            rgb = _scatter(rgb_c, 3)
+            amb_abs = _scatter(jnp.abs(amb_c).sum(-1)).reshape(R, S)
+            ambient_pos = _scatter(amb_c, amb_c.shape[-1])
+        else:
+            sigma, rgb, ambient_pos = field_fn(xyz, dirs)
+            amb_abs = jnp.abs(ambient_pos).sum(-1).reshape(R, S)
 
-        amb_abs = jnp.abs(ambient_pos).sum(-1).reshape(R, S)
         comp = composite_ops.composite_rays(
             sigma.reshape(R, S),
             rgb.reshape(R, S, 3),

@@ -143,3 +143,84 @@ def test_full_frame_topk_wiring():
                                                 color_topk=8), **kw)
     np.testing.assert_allclose(np.asarray(topk.rgb_map), np.asarray(full.rgb_map),
                                atol=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# Static-budget live-sample compaction (RenderOptions.compact_frac): the
+# TPU-native re-derivation of the reference's CUDA stream compaction
+# (raymarching.cu march_rays_train atomic packing) — cumsum ranks, one
+# gather in, one scatter out, static shapes.
+# ---------------------------------------------------------------------------
+
+
+def _live_frac(occ, ro, rd, S=8):
+    from genefaceplusplus_tpu.ops import raymarch
+
+    aabb = jnp.asarray([-1.0, -0.5, -1.0, 1.0, 0.5, 1.0])
+    nears, fars = raymarch.near_far_from_aabb(ro, rd, aabb, 0.05)
+    occ_box = raymarch.occupancy_aabb(occ, 1.0)
+    m = raymarch.march_rays_interval(ro, rd, nears, fars, occ_box, bound=1.0,
+                                     dt_gamma=1 / 256, max_steps=16,
+                                     num_samples=S, min_near=0.05,
+                                     grid_size=occ.shape[0])
+    return float(np.asarray(m.mask).mean())
+
+
+def test_compact_exact_when_budget_covers_live():
+    """With M >= live count the compacted render is exact (both field paths)."""
+    occ, ro, rd = _scene()
+    lf = _live_frac(occ, ro, rd)
+    assert lf < 0.85  # the scene actually has dead samples to skip
+    _, field_fn, sigma_fn, color_fn = _model_and_fns()
+    full = _render(RenderOptions(num_samples=8, T_thresh=1e-3),
+                   field_fn, sigma_fn, color_fn, occ, ro, rd, split=False)
+    # fused-field path
+    comp = _render(RenderOptions(num_samples=8, T_thresh=1e-3, compact_frac=0.9),
+                   field_fn, sigma_fn, color_fn, occ, ro, rd, split=False)
+    np.testing.assert_allclose(np.asarray(comp.rgb_map), np.asarray(full.rgb_map),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(comp.weights_sum),
+                               np.asarray(full.weights_sum), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(comp.depth_map),
+                               np.asarray(full.depth_map), atol=1e-5)
+    # composed with top-K color
+    both = _render(RenderOptions(num_samples=8, T_thresh=1e-3, compact_frac=0.9,
+                                 color_topk=8),
+                   field_fn, sigma_fn, color_fn, occ, ro, rd)
+    np.testing.assert_allclose(np.asarray(both.rgb_map), np.asarray(full.rgb_map),
+                               atol=2e-5)
+
+
+def test_compact_overflow_degrades_gracefully():
+    """A budget below the live count drops the flat-order tail: output stays
+    finite and in range, weights_sum never exceeds the exact render's."""
+    occ, ro, rd = _scene()
+    _, field_fn, sigma_fn, color_fn = _model_and_fns(sigma_boost=50.0)
+    full = _render(RenderOptions(num_samples=8, T_thresh=1e-3),
+                   field_fn, sigma_fn, color_fn, occ, ro, rd, split=False)
+    tiny = _render(RenderOptions(num_samples=8, T_thresh=1e-3, compact_frac=0.05),
+                   field_fn, sigma_fn, color_fn, occ, ro, rd, split=False)
+    out = np.asarray(tiny.rgb_map)
+    assert np.isfinite(out).all() and out.min() >= 0.0 and out.max() <= 1.0
+    assert float(np.asarray(tiny.weights_sum).sum()) <= \
+        float(np.asarray(full.weights_sum).sum()) + 1e-4
+
+
+def test_compact_full_frame_wiring():
+    """render_full_frame + pipeline knob: compact_frac flows through and the
+    cropped production path stays exact at a covering budget."""
+    from genefaceplusplus_tpu.models.full_renderer import render_full_frame
+
+    occ, ro, rd = _scene()
+    cfg, _, _, _ = _model_and_fns()
+    model = RADNeRF(cfg)
+    cond = jnp.zeros((cfg.smo_win_size, cfg.cond_win_size, cfg.cond_in_dim))
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((8, 3)), jnp.ones((8, 3)), cond)
+    kw = dict(bg_color=jnp.full((ro.shape[0], 3), 0.7), image_hw=(24, 24))
+    full = render_full_frame(model, params, ro, rd, cond, occ,
+                             opts=RenderOptions(num_samples=8, T_thresh=1e-3), **kw)
+    comp = render_full_frame(model, params, ro, rd, cond, occ,
+                             opts=RenderOptions(num_samples=8, T_thresh=1e-3,
+                                                compact_frac=0.9), **kw)
+    np.testing.assert_allclose(np.asarray(comp.rgb_map), np.asarray(full.rgb_map),
+                               atol=2e-5)
