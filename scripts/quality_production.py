@@ -484,7 +484,9 @@ def stage_eval_torso(args):
     tr, va = _load_datasets()
     cfg = Config(_torso_cfg(args.variant))
     task = TorsoNeRFTask(tr, _model_cfg(args.variant, len(tr) + len(va)), cfg)
-    task.opts = RenderOptions(max_steps=16, num_coarse=48, num_samples=16)
+    task.opts = RenderOptions(max_steps=16, num_coarse=48, num_samples=16,
+                              color_topk=args.color_topk,
+                              compact_frac=args.compact_frac)
 
     # torso params + 2D occupancy grid from the torso stage ckpt
     tckpt, tpath = get_last_checkpoint(workdir(args.variant) + "_torso")
@@ -553,6 +555,8 @@ def stage_eval_torso(args):
     res = {
         "variant": args.variant + "+torso",
         "torso_step": int(tckpt["global_step"]),
+        "color_topk": args.color_topk,
+        "compact_frac": args.compact_frac,
         "val_sr_psnr_512_composite": round(float(np.mean(sr_psnrs)), 2),
         "val_raw_psnr_composite": round(float(np.mean(raw_psnrs)), 2),
         "n_val_frames": len(va),
@@ -570,7 +574,11 @@ def stage_eval_torso(args):
         wtr.close()
         res["clip"] = args.clip
     print(json.dumps(res))
-    with open(os.path.join(workdir(args.variant) + "_torso", "quality_eval.json"), "w") as f:
+    tag = ""
+    if args.color_topk or args.compact_frac:
+        tag = f"_k{args.color_topk}_c{args.compact_frac}"
+    with open(os.path.join(workdir(args.variant) + "_torso",
+                           f"quality_eval{tag}.json"), "w") as f:
         json.dump(res, f, indent=2)
 
 
@@ -600,6 +608,8 @@ def main():
     et = sub.add_parser("eval-torso")
     et.add_argument("--variant", type=str, required=True)
     et.add_argument("--clip", type=str, default="")
+    et.add_argument("--color_topk", type=int, default=0)
+    et.add_argument("--compact_frac", type=float, default=0.0)
     pa = sub.add_parser("parity")
     pa.add_argument("--variants", type=str, default="fourier,tiledgrid")
     pa.add_argument("--steps", type=int, default=2500)
