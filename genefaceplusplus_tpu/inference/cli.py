@@ -42,10 +42,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--color_topk", type=int, default=0,
                    help="color MLP on only the K highest-weight samples/ray "
                         "(0 = all; approximation — A/B per identity)")
-    p.add_argument("--compact_frac", type=float, default=0.0,
+    p.add_argument("--compact_frac", type=str, default="0",
                    help="field on a static budget of frac*rays*samples live "
-                        "slots (0 = all; exact while the identity's live-"
-                        "sample fraction stays below frac)")
+                        "slots: a float (exact while the identity's live "
+                        "fraction stays below it), 'auto' (measure this "
+                        "call's poses and pick a covering budget), or 0=off")
     p.add_argument("--n_devices", type=int, default=1,
                    help="shard each frame's rays over this many chips "
                         "(jax.sharding Mesh 'rays' axis; 1 = single chip)")

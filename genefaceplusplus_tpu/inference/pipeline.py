@@ -17,6 +17,7 @@ torso + SR fused); rays can shard over a device mesh (parallel/).
 
 from __future__ import annotations
 
+import dataclasses
 import os
 from typing import Any, Dict, Optional
 
@@ -546,6 +547,66 @@ class GeneFaceInfer:
         return batch
 
     # ------------------------------------------------------------------
+    def _auto_compact_frac(self, poses, opts: RenderOptions, image_hw,
+                           head_crop, max_probe: int = 32,
+                           margin: float = 1.25) -> float:
+        """Covering live-sample compaction budget for THIS call's poses.
+
+        The marcher mask is pure geometry (occupancy x rays — no field, no
+        condition), so the live count per pose is exact and cheap: probe up
+        to `max_probe` evenly-spaced drive poses, take the max count, add
+        `margin` for unprobed in-between poses, and express it as a fraction
+        of the head render's R*S slot budget (R = the crop window when the
+        auto head-crop is active; all live samples lie inside it by the
+        crop-losslessness invariant). Returns 0.0 (compaction off) when the
+        budget would not skip at least ~10% of slots, or in grid march mode."""
+        if opts.march_mode != "interval":
+            return 0.0
+        H, W = image_hw
+        key = ("live_count", opts.num_samples, opts.entry_mode, opts.max_steps,
+               opts.dt_gamma, H, W)
+        if key not in self._fn_cache:
+            from genefaceplusplus_tpu.models.renderer import make_aabb
+            from genefaceplusplus_tpu.ops import raymarch
+
+            cfg = self.head_cfg
+            intr = tuple(float(x) for x in np.asarray(self.dataset.intrinsics).reshape(-1))
+
+            def live_count(pose, occupancy):
+                from genefaceplusplus_tpu.utils.rays import pixel_rays
+
+                ro, rd, _ = pixel_rays(pose[None], intr, H, W)
+                ro, rd = ro[0], rd[0]
+                aabb = make_aabb(cfg.bound)
+                nears, fars = raymarch.near_far_from_aabb(ro, rd, aabb, cfg.min_near)
+                occ_box = raymarch.occupancy_aabb(occupancy, cfg.bound)
+                t_entry = None
+                if opts.entry_mode == "probe":
+                    t_entry = raymarch.entry_depth_map(
+                        ro, rd, occupancy, occ_box, cfg.bound, (H, W),
+                        stride=opts.probe_stride,
+                        coarse_factor=opts.probe_coarse_factor,
+                        n_probe=opts.n_probe, min_near=cfg.min_near)
+                m = raymarch.march_rays_interval(
+                    ro, rd, nears, fars, occ_box, bound=cfg.bound,
+                    dt_gamma=opts.dt_gamma, max_steps=opts.max_steps,
+                    num_samples=opts.num_samples, min_near=cfg.min_near,
+                    grid_size=occupancy.shape[0], t_entry=t_entry)
+                return m.mask.sum()
+
+            self._fn_cache[key] = jax.jit(live_count)
+        count_fn = self._fn_cache[key]
+        T = len(poses)
+        sel = np.unique(np.linspace(0, T - 1, min(T, max_probe)).astype(int))
+        max_live = max(
+            int(count_fn(jnp.asarray(poses[i], jnp.float32), self.occupancy))
+            for i in sel)
+        R = head_crop[0] * head_crop[1] if head_crop is not None else H * W
+        frac = margin * max_live / float(R * opts.num_samples)
+        if frac >= 0.9:
+            return 0.0
+        return float(min(max(frac, 1.0 / opts.num_samples), 1.0))
+
     def _build_chunk_fn(self, opts: RenderOptions, H: int, W: int, chunk: int,
                         head_crop=None, torso_crop=None, sr_crop=None,
                         out_dtype="float32", mesh=None):
@@ -679,15 +740,21 @@ class GeneFaceInfer:
             # 0 = off; K>0 runs the color MLP on only the K highest-weight
             # samples per ray (approximation — validate per identity)
             color_topk=int(inp.get("color_topk", 0)),
-            # 0 = off; f in (0,1) = static live-sample compaction budget
-            # (exact while live fraction < f — validate per identity)
-            compact_frac=float(inp.get("compact_frac", 0.0)),
         )
+        # live-sample compaction budget: "auto" measures the max live count
+        # over this call's drive poses and sets a covering budget (lossless
+        # by construction, up to the probe subsample); a float is taken as-is
+        cf_raw = inp.get("compact_frac", 0.0)
         chunk = int(inp.get("frames_per_dispatch", 8))
         chunk = max(1, min(chunk, T))
         head_crop = resolve_crop(inp, "head_crop", self.head_crop)
         torso_crop = resolve_crop(inp, "torso_crop", self.torso_crop)
         sr_crop = resolve_crop(inp, "sr_crop", self.sr_crop)
+        if str(cf_raw) == "auto":
+            opts = dataclasses.replace(opts, compact_frac=self._auto_compact_frac(
+                batch["poses"], opts, (H, W), head_crop))
+        elif float(cf_raw) > 0:
+            opts = dataclasses.replace(opts, compact_frac=float(cf_raw))
         # the S=10/probe default is validated on trained identities only
         # (tests/test_entry_probe.py) — always announce the active budget so
         # a quality regression on a new identity is traceable to it

@@ -171,7 +171,10 @@ def _dispatch_render(infer, batch, inp, mesh: Optional[Mesh] = None):
         T_thresh=float(inp.get("T_thresh", 1e-2)),
         entry_mode=str(inp.get("entry_mode", "probe")),
         color_topk=int(inp.get("color_topk", 0)),
-        compact_frac=float(inp.get("compact_frac", 0.0)),
+        # streaming chunks arrive before the full pose track exists, so
+        # "auto" budget probing is offline-only; pass an explicit float here
+        compact_frac=(0.0 if str(inp.get("compact_frac", 0.0)) == "auto"
+                      else float(inp.get("compact_frac", 0.0))),
     )
     T = batch["T"]
     chunk = max(1, min(int(inp.get("frames_per_dispatch", 8)), T))

@@ -287,3 +287,52 @@ def test_pipeline_crops_lossless_end_to_end(tmp_path):
     # the auto crop is sized from the dataset poses, so they all fit
     assert np.all(np.asarray(fits_on))
     np.testing.assert_allclose(a, b, atol=2e-5)
+
+
+def test_pipeline_auto_compact_lossless_end_to_end(tmp_path):
+    """compact_frac='auto' measures a covering budget for the drive poses,
+    so the compacted production chunk fn must equal the exact render; the
+    measured budget must actually skip slots on the compact occupancy."""
+    import jax.numpy as jnp
+
+    from genefaceplusplus_tpu.data.dataset import RADNeRFDataset, synthetic
+    from genefaceplusplus_tpu.inference.pipeline import GeneFaceInfer
+    from genefaceplusplus_tpu.models.renderer import RenderOptions
+    from genefaceplusplus_tpu.utils.audio_features import get_audio_features_batch
+    from genefaceplusplus_tpu.utils.rays import get_bg_coords, pixel_rays
+
+    head_dir = str(tmp_path / "h")
+    save_config({"with_sr": False, "grid_size": 16, "smo_win_size": 3,
+                 "cond_win_size": 1, "hidden_dim_sigma": 16,
+                 "hidden_dim_ambient": 16, "hidden_dim_color": 16,
+                 "geo_feat_dim": 8, "individual_embedding_num": 4}, head_dir)
+    H = 32
+    ds = RADNeRFDataset(synthetic(num_frames=6, H=H, W=H), split="train",
+                        smo_win_size=3, with_sr=False)
+    infer = GeneFaceInfer(head_model_dir=head_dir, dataset=ds)
+    infer.occupancy = jnp.zeros((16, 16, 16), bool).at[5:11, 5:11, 5:11].set(True)
+
+    opts = RenderOptions(num_coarse=48, num_samples=8, T_thresh=1e-2,
+                         entry_mode="probe")
+    poses = np.stack([ds.frame_pose(i) for i in range(4)])
+    frac = infer._auto_compact_frac(poses, opts, (H, H), head_crop=None)
+    assert 0.0 < frac < 0.9, frac  # engaged AND actually skipping slots
+
+    import dataclasses
+
+    C = 2
+    bg_coords = get_bg_coords(H, H)[0]
+    bg_color = jnp.asarray(ds.bg_img.reshape(-1, 3))
+    conds = jnp.asarray(np.random.RandomState(0).randn(C, 1, 204), jnp.float32)
+    cond_windows = get_audio_features_batch(conds, jnp.arange(C), 3)
+    rays_o, rays_d, _ = pixel_rays(jnp.asarray(poses[:C]), tuple(ds.intrinsics), H, H)
+    lm68s = jnp.asarray(np.random.RandomState(1).rand(C, 1, 68, 2), jnp.float32)
+    args = (infer.head_params, infer.torso_params, infer.sr_params,
+            rays_o, rays_d, cond_windows, jnp.zeros((C, 1, 1)),
+            infer.occupancy, bg_color, bg_coords, lm68s)
+    exact = infer._build_chunk_fn(opts, H, H, C)
+    compact = infer._build_chunk_fn(
+        dataclasses.replace(opts, compact_frac=frac), H, H, C)
+    a, _ = exact(*args)
+    b, _ = compact(*args)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
