@@ -392,11 +392,17 @@ class HeadNeRFTask:
             # embedding table covers the full timeline (reference eval
             # passes the frame idx, radnerf.py:199)
             gid = min(int(ds_val.frame_ids[i]), self.cfg.individual_embedding_num - 1)
+            # render over the frame's torso-composited background — the SAME
+            # background training uses (torso-as-background convention,
+            # dataset_utils.py:400-412); validating over the plain bg would
+            # charge the whole torso region against the head model
+            bg = ds_val.frame_bg_torso(i)
+            bg = ds_val.bg_img if bg is None else bg
             out = self._jit_val_render(
                 state.params, rays_o[0], rays_d[0], cond,
                 jnp.asarray(ds_val.eye_area_percents[i : i + 1]),
                 jnp.asarray(max(gid, 0), jnp.int32), self.occupancy,
-                jnp.asarray(ds_val.bg_img.reshape(-1, 3)),
+                jnp.asarray(np.asarray(bg, np.float32).reshape(-1, 3)),
             )
             if save_dir:
                 import os

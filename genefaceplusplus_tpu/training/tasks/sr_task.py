@@ -386,12 +386,17 @@ class SRHeadNeRFTask(HeadNeRFTask):
             rays_o, rays_d, _ = pixel_rays_jit(pose, ds.intrinsics, H, W)
             gid = max(0, min(int(ds.frame_ids[i]),
                              self.cfg.individual_embedding_num - 1))
+            # per-frame torso-composited background = training convention
+            # (head_task.validate note); plain bg would charge the torso
+            # region against the head+SR stack
+            bg = ds.frame_bg_torso(i)
+            bg = ds.bg_img if bg is None else bg
             sr = self._jit_val_sr(
                 state.params, rays_o[0], rays_d[0],
                 jnp.asarray(ds.frame_cond_window(i)),
                 jnp.asarray(ds.eye_area_percents[i : i + 1]),
                 jnp.asarray(gid, jnp.int32),
-                self.occupancy, jnp.asarray(ds.bg_img.reshape(-1, 3)),
+                self.occupancy, jnp.asarray(np.asarray(bg, np.float32).reshape(-1, 3)),
             )
             mse = float(np.mean((np.asarray(sr) - gt2x) ** 2))
             sr_psnrs.append(-10.0 * np.log10(max(mse, 1e-10)))

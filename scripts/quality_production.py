@@ -60,6 +60,14 @@ def _load_datasets():
     return tr, va
 
 
+def _val_bg(ds, i):
+    """Per-frame torso-composited background — the training convention
+    (torso-as-background); plain bg would charge the torso region against
+    the head+SR stack (head_task.validate note)."""
+    bg = ds.frame_bg_torso(i)
+    return ds.bg_img if bg is None else bg
+
+
 def _model_cfg(variant: str, n_frames: int):
     from genefaceplusplus_tpu.models.radnerf import RADNeRFConfig
 
@@ -344,7 +352,7 @@ def stage_eval(args):
             state.params, ro[0], rd[0], jnp.asarray(va.frame_cond_window(i)),
             jnp.asarray(va.eye_area_percents[i:i + 1]),
             jnp.asarray(gid, jnp.int32), task.occupancy,
-            jnp.asarray(va.bg_img.reshape(-1, 3))))
+            jnp.asarray(np.asarray(_val_bg(va, i), np.float32).reshape(-1, 3))))
         mse = float(np.mean((sr - gt2x) ** 2))
         sr_psnrs.append(-10 * np.log10(max(mse, 1e-10)))
         renders.append((sr * 255).astype(np.uint8))
@@ -438,7 +446,7 @@ def stage_parity(args):
                 state.params, ro[0], rd[0], jnp.asarray(va.frame_cond_window(i)),
                 jnp.asarray(va.eye_area_percents[i:i + 1]),
                 jnp.asarray(gid, jnp.int32), task.occupancy,
-                jnp.asarray(va.bg_img.reshape(-1, 3))))
+                jnp.asarray(np.asarray(_val_bg(va, i), np.float32).reshape(-1, 3))))
             mse = float(np.mean((sr - gt2x) ** 2))
             sr_psnrs.append(-10 * np.log10(max(mse, 1e-10)))
             renders.append((np.clip(sr, 0, 1) * 255).astype(np.uint8))
