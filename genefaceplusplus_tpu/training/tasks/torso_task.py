@@ -294,25 +294,48 @@ class TorsoNeRFTask:
     def validate(self, state, max_frames: int = 2, save_dir: str = "") -> Dict[str, float]:
         """Full-frame head+torso renders on dataset frames -> PSNR
         (matching the head task's validate; the reference logs torso PSNR
-        through the same mse2psnr path, tasks/radnerfs/radnerf_torso_sr.py)."""
+        through the same mse2psnr path, tasks/radnerfs/radnerf_torso_sr.py).
+
+        The render is JITTED (one dispatch per frame): an eager
+        render_full_frame is hundreds of separate dispatches through the
+        axon tunnel — ~10 min per validation (docs/DESIGN.md tunnel rules).
+        The occupancy-2D threshold enters as a traced scalar so the varying
+        mean_density_torso never retriggers compilation."""
         ds = self.dataset
+        if getattr(self, "_jit_val", None) is None:
+            head_model, torso_model, opts = self.head_model, self.torso_model, self.opts
+            hw = (ds.H, ds.W)
+
+            def val_fn(torso_params, head_params, occupancy, torso_grid, thr,
+                       rays_o, rays_d, cond, bg_color, bg_coords, lm68, eye, idx):
+                out = render_full_frame(
+                    head_model, head_params, rays_o, rays_d, cond, occupancy,
+                    bg_color=bg_color, opts=opts, image_hw=hw,
+                    eye_area_percent=eye, index=idx,
+                    torso_model=torso_model, torso_params=torso_params,
+                    bg_coords=bg_coords, lm68=lm68,
+                    occupancy_2d=torso_grid,
+                    density_thresh_torso=thr, mean_density_torso=0.0,
+                )
+                return out.rgb_map
+
+            self._jit_val = jax.jit(val_fn)
+        thr = (min(self.torso_cfg.density_thresh_torso, self.mean_density_torso)
+               if self.mean_density_torso > 0 else self.torso_cfg.density_thresh_torso)
         psnrs = []
         for i in range(min(max_frames, len(ds))):
             batch = self.sample_frame_batch(i)
-            out = render_full_frame(
-                self.head_model, self.head_params,
-                batch["rays_o"], batch["rays_d"], batch["cond"], self.occupancy,
-                bg_color=batch["bg_color"], opts=self.opts, image_hw=(ds.H, ds.W),
-                eye_area_percent=batch["eye_area_percent"], index=batch["idx"],
-                torso_model=self.torso_model, torso_params=state.torso_params,
-                bg_coords=batch["bg_coords"], lm68=batch["lm68"],
-                occupancy_2d=self.torso_grid,
-                mean_density_torso=self.mean_density_torso,
+            rgb = self._jit_val(
+                state.torso_params, self.head_params, self.occupancy,
+                self.torso_grid, jnp.asarray(thr, jnp.float32),
+                batch["rays_o"], batch["rays_d"], batch["cond"],
+                batch["bg_color"], batch["bg_coords"], batch["lm68"],
+                batch["eye_area_percent"], jnp.asarray(batch["idx"], jnp.int32),
             )
             gt = ds.load_image(i, "gt")
             if gt is None:
                 continue
-            mse = float(jnp.mean((out.rgb_map - gt.reshape(-1, 3)) ** 2))
+            mse = float(jnp.mean((rgb - gt.reshape(-1, 3)) ** 2))
             psnrs.append(-10.0 * np.log10(max(mse, 1e-10)))
         return {"val_psnr": float(np.mean(psnrs))} if psnrs else {}
 
