@@ -229,8 +229,11 @@ def bench_train(n_steps: int = 20, multi: int = 5):
     }
     tx = make_radnerf_optimizer(lr=5e-4)
     hp = TaskHParams()
+    # BENCH_COMPACT_TRAIN=f: train-side live-sample compaction A/B
+    # (head_task.train_compact_start machinery; renderer.py compact_frac)
+    cf = float(os.environ.get("BENCH_COMPACT_TRAIN", "0") or 0.0)
     opts = RenderOptions(num_samples=16, T_thresh=1e-4, march_mode="interval",
-                         perturb=True)
+                         perturb=True, compact_frac=cf)
     state = create_train_state(head, tx, jax.random.PRNGKey(0), hp)
     step = make_train_step(head, tx, opts, hp,
                            remat_field=os.environ.get("BENCH_REMAT", "0") == "1")

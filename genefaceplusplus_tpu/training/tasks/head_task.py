@@ -54,6 +54,18 @@ class HeadTaskConfig:
     # production flagship dims only (fused_field.py asserts them)
     use_fused_field: bool = False
     fused_tile: int = 1024
+    # train-side live-sample compaction (ROADMAP 6b): from this step on,
+    # the train step evaluates the field on only a static budget of live
+    # (marcher-mask) sample slots instead of all R*S (renderer.py
+    # compact_frac). 0 = off. The budget is MEASURED at the switch step —
+    # max live fraction over probe batches × train_compact_margin — so the
+    # early dense-grid phase trains full-slot and the compacted graph is
+    # compiled exactly once. EXACT (same gradients) while the per-step
+    # live count fits the budget; the occupancy grid only shrinks under
+    # EMA decay after stabilisation, and overflow is surfaced via the
+    # compact/probe_live_frac telemetry at every grid refresh.
+    train_compact_start: int = 0
+    train_compact_margin: float = 1.35
 
     @classmethod
     def from_hparams(cls, hp) -> "HeadTaskConfig":
@@ -70,6 +82,8 @@ class HeadTaskConfig:
             perceptual_arch=get("perceptual_arch", "small"),
             vgg_weights_path=get("vgg_weights_path", ""),
             vggface_weights_path=get("vggface_weights_path", ""),
+            train_compact_start=get("train_compact_start", 0),
+            train_compact_margin=get("train_compact_margin", 1.35),
         )
 
 
@@ -110,6 +124,11 @@ class HeadNeRFTask:
         self._train_step = jax.jit(fused_step)
         self._lip_step = None  # compiled lazily on first lip-finetune batch
         self._finetune_lip_flag = False
+        # train-side compaction (task_cfg.train_compact_start): built once
+        # when the switch step is reached, with a measured live budget
+        self._compact_step = None
+        self._compact_telemetry: Dict[str, float] = {}
+        self._jit_live_frac = None
         self.np_rng = np.random.RandomState(seed)
         self.seed = seed
 
@@ -257,6 +276,74 @@ class HeadNeRFTask:
         }
 
     # ------------------------------------------------------------------
+    def _live_frac_probe(self, n_probes: int = 8) -> float:
+        """Max marcher live-sample fraction over sampled train batches.
+
+        Runs ONLY the marching stage (no field eval) on n_probes random
+        ray batches under the current occupancy — the quantity the
+        compact_frac budget must cover (renderer.py:146-161)."""
+        from genefaceplusplus_tpu.models.renderer import make_aabb
+        from genefaceplusplus_tpu.ops import raymarch
+        from genefaceplusplus_tpu.utils.rays import pixel_rays
+
+        ds, cfg, opts = self.dataset, self.cfg, self.opts
+        if self._jit_live_frac is None:
+            intr = tuple(float(x) for x in np.asarray(ds.intrinsics).reshape(-1))
+            H, W = ds.H, ds.W
+
+            def live_frac(pose, inds, occupancy):
+                rays_o, rays_d, _ = pixel_rays(pose[None], intr, H, W, inds[None])
+                rays_o, rays_d = rays_o[0], rays_d[0]
+                aabb = make_aabb(cfg.bound)
+                nears, fars = raymarch.near_far_from_aabb(
+                    rays_o, rays_d, aabb, cfg.min_near)
+                occ_box = raymarch.occupancy_aabb(occupancy, cfg.bound)
+                m = raymarch.march_rays_interval(
+                    rays_o, rays_d, nears, fars, occ_box,
+                    bound=cfg.bound, dt_gamma=opts.dt_gamma,
+                    max_steps=opts.max_steps, num_samples=opts.num_samples,
+                    noise=None, min_near=cfg.min_near,
+                    grid_size=occupancy.shape[0],
+                )
+                return jnp.mean(m.mask.astype(jnp.float32))
+
+            self._jit_live_frac = jax.jit(live_frac)
+        fracs = []
+        for _ in range(n_probes):
+            idx = int(self.np_rng.randint(len(ds)))
+            inds = self.np_rng.randint(0, ds.H * ds.W, size=self.task_cfg.n_rays)
+            fracs.append(float(self._jit_live_frac(
+                jnp.asarray(ds.frame_pose(idx), jnp.float32),
+                jnp.asarray(inds.astype(np.int32)), self.occupancy)))
+        return max(fracs)
+
+    def _enable_train_compaction(self):
+        """Measure the live budget and compile the compacted train step
+        (one recompile; ROADMAP 6b). Falls back to the full-slot step when
+        the measured budget leaves no headroom (>=85% live)."""
+        frac = self._live_frac_probe()
+        budget = min(1.0, frac * self.task_cfg.train_compact_margin)
+        self._compact_telemetry = {
+            "compact/probe_live_frac": frac,
+            "compact/budget_frac": budget,
+        }
+        if budget >= 0.85:
+            self._compact_step = self._train_step  # no win at this density
+            return
+        opts_c = dataclasses.replace(self.opts, compact_frac=budget)
+        base = make_train_step(
+            self.model, self.tx, opts_c, self.hp,
+            use_fused_field=self.task_cfg.use_fused_field,
+            fused_tile=self.task_cfg.fused_tile,
+        )
+        gather = self._make_ray_gather()
+
+        def fused_step(state, frames, idx, inds, occupancy):
+            return base(state, gather(frames, idx, inds), occupancy)
+
+        self._compact_step = jax.jit(fused_step)
+
+    # ------------------------------------------------------------------
     def _make_lip_step(self):
         """Lip-window step: mse + perceptual on the [win, win] crop."""
         import optax
@@ -314,7 +401,14 @@ class HeadNeRFTask:
                 self._lip_step = self._make_lip_step()
             state, metrics = self._lip_step(state, frames, idx, inds, self.occupancy)
         else:
-            state, metrics = self._train_step(state, frames, idx, inds, self.occupancy)
+            cs = self.task_cfg.train_compact_start
+            if (cs > 0 and self._compact_step is None
+                    and int(state.global_step) >= cs):
+                self._enable_train_compaction()
+            step_fn = self._compact_step if self._compact_step is not None \
+                else self._train_step
+            state, metrics = step_fn(state, frames, idx, inds, self.occupancy)
+            metrics.update(self._compact_telemetry)
         metrics.update(self.grid_telemetry)
         return state, metrics
 
@@ -355,6 +449,20 @@ class HeadNeRFTask:
             "density_grid/mean_density": self.mean_density,
             "density_grid/occupancy_rate": float(jnp.mean(self.occupancy)),
         }
+        # compaction overflow guard: the budget was measured at the switch
+        # step; the occupancy only shrinks under EMA decay, but surface the
+        # live fraction every refresh so a violation is visible, and warn
+        # loudly if the budget no longer covers it (gradients would drop
+        # the flat-order tail of live samples)
+        if self._compact_step is not None and self._compact_step is not self._train_step:
+            frac = self._live_frac_probe(n_probes=1)
+            self._compact_telemetry["compact/probe_live_frac"] = frac
+            if frac > self._compact_telemetry.get("compact/budget_frac", 1.0):
+                print(f"| WARNING: live-sample fraction {frac:.3f} exceeds the "
+                      f"compaction budget "
+                      f"{self._compact_telemetry['compact/budget_frac']:.3f} — "
+                      "tail samples are being dropped; raise "
+                      "train_compact_margin or restart compaction")
 
     # ------------------------------------------------------------------
     def validate(self, state: TrainState, max_frames: int = 2,
