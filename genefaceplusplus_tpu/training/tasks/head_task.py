@@ -330,6 +330,11 @@ class HeadNeRFTask:
         if budget >= 0.85:
             self._compact_step = self._train_step  # no win at this density
             return
+        self._compact_step = self._build_compact_step(budget)
+
+    def _build_compact_step(self, budget: float):
+        """Compile the train step with a compacted field budget (subclasses
+        with their own step graphs override this)."""
         opts_c = dataclasses.replace(self.opts, compact_frac=budget)
         base = make_train_step(
             self.model, self.tx, opts_c, self.hp,
@@ -341,7 +346,7 @@ class HeadNeRFTask:
         def fused_step(state, frames, idx, inds, occupancy):
             return base(state, gather(frames, idx, inds), occupancy)
 
-        self._compact_step = jax.jit(fused_step)
+        return jax.jit(fused_step)
 
     # ------------------------------------------------------------------
     def _make_lip_step(self):

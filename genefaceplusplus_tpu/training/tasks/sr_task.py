@@ -236,9 +236,10 @@ class SRHeadNeRFTask(HeadNeRFTask):
 
         return gather
 
-    def _make_sr_step(self):
+    def _make_sr_step(self, opts=None):
         model, sr_model, cfg, hp, opts, tx = (
-            self.model, self.sr_model, self.cfg, self.hp, self.opts, self.tx,
+            self.model, self.sr_model, self.cfg, self.hp,
+            opts if opts is not None else self.opts, self.tx,
         )
         H, W = self.dataset.H, self.dataset.W
         tcfg: SRTaskConfig = self.task_cfg
@@ -336,14 +337,28 @@ class SRHeadNeRFTask(HeadNeRFTask):
         self._device_frames()  # built once, before the first step
         return {"frame_idx": int(self.np_rng.randint(len(self.dataset)))}
 
+    def _build_compact_step(self, budget: float):
+        """SR-step graph with a compacted head-field budget (the SR batch is
+        a full frame, so the live fraction is the head's screen coverage)."""
+        opts_c = dataclasses.replace(self.opts, compact_frac=budget)
+        return jax.jit(self._make_sr_step(opts=opts_c),
+                       static_argnames=("use_lpips", "use_sr"))
+
     def train_step(self, state, batch):
         step = int(state.global_step)
+        cs = self.task_cfg.train_compact_start
+        if cs > 0 and self._compact_step is None and step >= cs:
+            self._enable_train_compaction()
+        step_fn = self._compact_step if self._compact_step is not None \
+            else self._train_step
         use_sr = step >= self.task_cfg.sr_start_iters
         use_lpips = step >= self.task_cfg.lpips_start_iters
-        return self._train_step(
+        state, metrics = step_fn(
             state, self._device_frames(),
             jnp.asarray(batch["frame_idx"], jnp.int32), self.occupancy,
             use_sr=use_sr, use_lpips=use_lpips)
+        metrics.update(self._compact_telemetry)
+        return state, metrics
 
     def validate(self, state, max_frames: int = 2, save_dir: str = ""):
         """Head validate (raw-res val_psnr) + SR validate: render raw val

@@ -106,6 +106,35 @@ def test_task_switches_at_compact_start():
     assert "compact/probe_live_frac" in task._compact_telemetry
 
 
+def test_sr_task_switches_to_compacted_step():
+    """The SR (flagship) task inherits the switch: full-frame batches, so
+    the live fraction is the head's screen coverage."""
+    from genefaceplusplus_tpu.training.tasks.sr_task import SRHeadNeRFTask, SRTaskConfig
+
+    ds = RADNeRFDataset(synthetic(num_frames=8, H=16, W=16), split="train",
+                        smo_win_size=3, with_sr=True)
+    mcfg = RADNeRFConfig(
+        grid_size=16, individual_embedding_num=16, smo_win_size=3,
+        fourier_pos_features=16, fourier_amb_features=8,
+        hidden_dim_sigma=32, hidden_dim_ambient=32, hidden_dim_color=32,
+        geo_feat_dim=16,
+    )
+    tcfg = SRTaskConfig(n_rays=256, num_coarse=8, num_samples=4, lr=1e-3,
+                        sr_start_iters=0, lpips_start_iters=10_000,
+                        train_compact_start=2, train_compact_margin=1.2)
+    task = SRHeadNeRFTask(ds, mcfg, tcfg, TaskHParams())
+    task.occupancy = _blob_occupancy(r2=0.06)
+    state = task.create_state()
+    metrics = {}
+    for _ in range(3):
+        state, metrics = task.train_step(state, task.sample_train_batch())
+    assert task._compact_step is not None
+    if task._compact_step is not task._train_step:  # engaged (not aliased)
+        assert 0.0 < metrics["compact/budget_frac"] < 0.85
+    assert np.isfinite(float(metrics["total_loss"]))
+    assert np.isfinite(float(metrics["sr_mse_loss"]))
+
+
 def test_dense_grid_aliases_to_full_slot():
     """When the measured live fraction leaves no compaction headroom
     (budget >= 85%), the switch must fall back to the full-slot step."""
