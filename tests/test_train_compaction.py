@@ -135,6 +135,47 @@ def test_sr_task_switches_to_compacted_step():
     assert np.isfinite(float(metrics["sr_mse_loss"]))
 
 
+def test_compacted_train_step_under_mesh():
+    """The compacted train step must compile and run with rays sharded over
+    the 8-virtual-device mesh (the dryrun_multichip sharding plan): the
+    flat cumsum/gather/scatter become cross-shard collectives under GSPMD
+    — correct, though a shard-local compaction would avoid them (noted in
+    docs/DESIGN.md). Loss must match the unsharded compacted step."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from genefaceplusplus_tpu.parallel.mesh import make_mesh
+
+    assert jax.device_count() >= 8, "conftest must provide 8 virtual devices"
+    task = _task()
+    task.occupancy = _blob_occupancy()
+    opts_c = dataclasses.replace(task.opts, compact_frac=0.5, perturb=False)
+    step = make_train_step(task.model, task.tx, opts_c, task.hp)
+
+    state = task.create_state()
+    frames = task._device_frames()
+    gather = task._make_ray_gather()
+    b = task.sample_train_batch()
+    batch = gather(frames, jnp.asarray(b["frame_idx"], jnp.int32),
+                   jnp.asarray(b["inds"], jnp.int32))
+
+    _, m_single = jax.jit(step)(state, batch, task.occupancy)
+
+    mesh = make_mesh(8)
+    ray1 = NamedSharding(mesh, P("rays"))
+    ray2 = NamedSharding(mesh, P("rays", None))
+    rep = NamedSharding(mesh, P())
+    sharded_batch = dict(batch)
+    for k, s in (("rays_o", ray2), ("rays_d", ray2), ("gt_rgb", ray2),
+                 ("bg_color", ray2), ("face_mask", ray1)):
+        sharded_batch[k] = jax.device_put(batch[k], s)
+    state_r = jax.device_put(state, rep)
+    occ_r = jax.device_put(task.occupancy, rep)
+    _, m_mesh = jax.jit(step)(state_r, sharded_batch, occ_r)
+
+    assert np.allclose(float(m_single["total_loss"]), float(m_mesh["total_loss"]),
+                       rtol=1e-4, atol=1e-6)
+
+
 def test_dense_grid_aliases_to_full_slot():
     """When the measured live fraction leaves no compaction headroom
     (budget >= 85%), the switch must fall back to the full-slot step."""
