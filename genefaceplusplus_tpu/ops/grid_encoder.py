@@ -10,10 +10,12 @@ Behavioural parity with the reference CUDA gridencoder:
 
 TPU-first design: all (level, corner) gathers are fused into ONE
 ``jnp.take`` over a [N, L*2^D] index tensor followed by a weighted reduce —
-a single XLA gather that the TPU backend vectorises well, and the exact
-memory-access pattern the Pallas kernel (ops/pallas/grid_kernel.py)
-implements with explicit VMEM tiling. Backward (scatter-add to embeddings +
-input grads) comes from JAX autodiff of the gather.
+a single XLA gather, the fastest table-lookup form measured on TPU
+(docs/DESIGN.md "gather-bound" table: ~7 ns/element; the hardware has no
+cross-vreg vector gather, so no Pallas kernel beats it). Backward
+(scatter-add to embeddings + input grads) comes from JAX autodiff of the
+gather. This structural cost is why the flagship default is the Fourier
+field (`grid_type: fourier`); the grid path exists for reference parity.
 """
 
 from __future__ import annotations

@@ -58,3 +58,44 @@ def test_saved_config_is_overridden_by_explicit_yaml(tmp_path):
     cfg = set_hparams(config=str(new_yaml), work_dir=str(work))
     assert cfg["lr"] == 2
     assert cfg["k"] == "old"
+
+
+def test_all_shipped_egs_configs_resolve():
+    """Every YAML under egs/ loads through the inheritance chain and maps
+    task_cls to a registered task (config-surface parity with the
+    reference's egs/ tree, incl. the non-SR head/torso variants)."""
+    import glob
+
+    from genefaceplusplus_tpu.training.run import TASK_REGISTRY
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    yamls = sorted(glob.glob(os.path.join(repo, "egs", "**", "*.yaml"), recursive=True))
+    assert len(yamls) >= 13
+    old = os.getcwd()
+    os.chdir(repo)  # base_config paths are repo-relative
+    try:
+        for path in yamls:
+            cfg = load_config(path)
+            if "egs_bases" in path and os.path.basename(path) == "base.yaml":
+                continue  # abstract bases need not name a task
+            kind = cfg.get("task_cls", "head")
+            assert kind in TASK_REGISTRY, f"{path}: unknown task_cls {kind!r}"
+    finally:
+        os.chdir(old)
+
+
+def test_may_non_sr_variants_match_reference_surface():
+    """The May identity ships the same 4 radnerf configs as the reference
+    (head / head+SR / torso / torso+SR, egs/datasets/May/)."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    may = os.path.join(repo, "egs", "datasets", "May")
+    old = os.getcwd()
+    os.chdir(repo)
+    try:
+        head = load_config(os.path.join(may, "lm3d_radnerf.yaml"))
+        torso = load_config(os.path.join(may, "lm3d_radnerf_torso.yaml"))
+    finally:
+        os.chdir(old)
+    assert head.get("with_sr", False) is False and head["task_cls"] == "head"
+    assert torso.get("with_sr", True) is False and torso["task_cls"] == "torso"
+    assert torso["head_model_dir"]
