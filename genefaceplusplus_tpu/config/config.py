@@ -93,11 +93,30 @@ def apply_overrides(cfg: Dict[str, Any], overrides: str) -> Dict[str, Any]:
         if "=" not in part:
             raise ValueError(f"malformed override (expected k=v): {part!r}")
         key, val = part.split("=", 1)
+        key = key.strip()
+        if not key:
+            raise ValueError(f"malformed override (empty key): {part!r}")
         node = cfg
-        subkeys = key.strip().split(".")
+        subkeys = key.split(".")
         for sk in subkeys[:-1]:
             node = node.setdefault(sk, {})
-        node[subkeys[-1]] = _coerce(val)
+        new = _coerce(val)
+        old = node.get(subkeys[-1])
+        if isinstance(old, str) and not isinstance(new, (str, dict, list, tuple)):
+            new = val.strip()  # keep string-typed keys string ("video_id=123")
+        # type coercion against the existing value (reference hparams.py:
+        # 130-162 casts to the old value's type and fails loudly on junk)
+        if old is not None and not isinstance(old, (str, dict, list, tuple)) \
+                and isinstance(new, str):
+            try:
+                new = type(old)(new) if not isinstance(old, bool) \
+                    else {"true": True, "false": False}[new.lower()]
+            except (ValueError, KeyError) as exc:
+                raise ValueError(
+                    f"override {part!r}: cannot cast {val!r} to "
+                    f"{type(old).__name__} (current value {old!r})"
+                ) from exc
+        node[subkeys[-1]] = new
     return cfg
 
 

@@ -24,7 +24,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--lle_percent", type=float, default=0.2)
     p.add_argument("--mouth_amp", type=float, default=0.4)
     p.add_argument("--out_name", type=str, default="out.mp4")
-    p.add_argument("--T_thresh", type=float, default=1e-2)
+    p.add_argument("--T_thresh", "--raymarching_end_threshold", dest="T_thresh",
+                   type=float, default=1e-2,
+                   help="transmittance early-out (reference flag name "
+                        "--raymarching_end_threshold accepted as an alias)")
     p.add_argument("--fast", action="store_true", help="T_thresh=0.05 for more fps")
     p.add_argument("--low_memory_usage", action="store_true", default=True)
     p.add_argument("--debug", action="store_true")

@@ -99,3 +99,18 @@ def test_may_non_sr_variants_match_reference_surface():
     assert head.get("with_sr", False) is False and head["task_cls"] == "head"
     assert torso.get("with_sr", True) is False and torso["task_cls"] == "torso"
     assert torso["head_model_dir"]
+
+
+def test_override_type_coercion_fails_loudly():
+    """Junk values for typed keys raise (reference hparams.py:130-162
+    casts overrides to the existing value's type)."""
+    cfg = {"lr": 0.1, "flag": True, "name": "x"}
+    with pytest.raises(ValueError):
+        apply_overrides(dict(cfg), "lr==bad")
+    with pytest.raises(ValueError):
+        apply_overrides(dict(cfg), "flag=maybe")
+    with pytest.raises(ValueError):
+        apply_overrides(dict(cfg), "=3")
+    out = apply_overrides(dict(cfg), "name=7,lr=1e-3,flag=false")
+    assert out["name"] == "7" or out["name"] == 7  # untyped strings stay lenient
+    assert out["lr"] == 1e-3 and out["flag"] is False
