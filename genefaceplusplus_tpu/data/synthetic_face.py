@@ -104,9 +104,7 @@ def landmark_indices(theta: np.ndarray, phi: np.ndarray) -> np.ndarray:
     # 0-16 jaw: lower silhouette arc, ear to ear through the chin
     for k in range(17):
         a = np.pi * (1.0 - k / 16.0)  # pi .. 0
-        targets.append((-0.15 - 0.55 * np.sin(a) ** 2 * 0 - 0.55 * np.sin(a / 1.0) * 0
-                        - 0.60 * np.sin(a) ** 0 * 0 - (0.15 + 0.55 * np.sin(a)) * 0
-                        - 0.15 - 0.55 * np.sin(a), (a - np.pi / 2) * 1.15))
+        targets.append((-0.30 - 0.55 * np.sin(a), (a - np.pi / 2) * 1.15))
     # 17-26 brows (right 17-21, left 22-26 in iBUG; here by phi sign)
     for k in range(5):
         targets.append((THETA_BROW, -PHI_EYE - 0.17 + 0.085 * k))
@@ -400,11 +398,24 @@ def synthetic_face(
 
 
 def cached_synthetic_face(path: str, **kw) -> str:
-    """Generate-once cache (the 512² x 450-frame build takes ~1-2 min)."""
+    """Generate-once cache (the 512² x 450-frame build takes ~1-2 min).
+
+    Keyed on the generation kwargs via a sidecar json: a cached file built
+    with DIFFERENT parameters is regenerated, not silently returned."""
+    import json
     import os
 
-    if not os.path.exists(path):
-        ds = synthetic_face(**kw)
-        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-        np.save(path, ds, allow_pickle=True)
+    meta_path = path + ".meta.json"
+    meta = json.dumps({k: kw[k] for k in sorted(kw)}, default=str)
+    if os.path.exists(path) and os.path.exists(meta_path):
+        if open(meta_path).read() == meta:
+            return path
+        print(f"| synthetic-face cache params changed — regenerating {path}")
+    elif os.path.exists(path):
+        print(f"| synthetic-face cache has no meta sidecar — regenerating {path}")
+    ds = synthetic_face(**kw)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    np.save(path, ds, allow_pickle=True)
+    with open(meta_path, "w") as f:
+        f.write(meta)
     return path

@@ -602,10 +602,19 @@ class GeneFaceInfer:
             int(count_fn(jnp.asarray(poses[i], jnp.float32), self.occupancy))
             for i in sel)
         R = head_crop[0] * head_crop[1] if head_crop is not None else H * W
-        frac = margin * max_live / float(R * opts.num_samples)
+        N = R * opts.num_samples
+        frac = margin * max_live / float(N)
+        frac = min(max(frac, 1.0 / opts.num_samples), 1.0)
+        # quantise to the renderer's actual 512-slot budget granularity
+        # (renderer.py: M = ceil(frac*N / 512) * 512): successive calls whose
+        # poses imply the same slot budget then produce an IDENTICAL
+        # RenderOptions and hit the jit cache instead of recompiling the
+        # whole chunked render graph per request
+        M = min(N, max(512, ((int(frac * N) + 511) // 512) * 512))
+        frac = M / float(N)
         if frac >= 0.9:
             return 0.0
-        return float(min(max(frac, 1.0 / opts.num_samples), 1.0))
+        return float(frac)
 
     def _build_chunk_fn(self, opts: RenderOptions, H: int, W: int, chunk: int,
                         head_crop=None, torso_crop=None, sr_crop=None,

@@ -135,8 +135,8 @@ def main(argv=None):
             smo_win_size=cfg.get("smo_win_size", 3),
             with_sr=cfg.get("with_sr", True),
         )
-    except (KeyError, IndexError):
-        pass  # dataset without a val split
+    except (KeyError, IndexError, ValueError):
+        pass  # dataset without a val split (empty val_samples raises ValueError)
 
     trainer = Trainer(
         task, work_dir, config=cfg,

@@ -129,6 +129,13 @@ class HeadNeRFTask:
         self._compact_step = None
         self._compact_telemetry: Dict[str, float] = {}
         self._jit_live_frac = None
+        # host-side mirror of state.global_step: per-step guards (staged
+        # losses, compaction switch) must not read the DEVICE counter —
+        # int(state.global_step) blocks on the previous step and destroys
+        # host run-ahead (measured 7.4 -> 2.5 steps/s through the tunnel).
+        # Synced from the trainer via sample_train_batch(global_step=...),
+        # or once from the device on the first step (test/resume paths).
+        self._host_step = None
         self.np_rng = np.random.RandomState(seed)
         self.seed = seed
 
@@ -193,35 +200,25 @@ class HeadNeRFTask:
         uint8 storage matches the dataset LRU quantisation bit-for-bit."""
         if getattr(self, "_dev_frames", None) is not None:
             return self._dev_frames
+        from genefaceplusplus_tpu.training import frame_store
+
         ds = self.dataset
-        T = len(ds)
-
-        def u8(img):
-            img = np.asarray(img)[..., :3]
-            return (np.clip(np.round(img * 255.0), 0, 255).astype(np.uint8)
-                    if img.dtype != np.uint8 else img)
-
-        gt_l, bg_l, mask_l, pose_l = [], [], [], []
-        for i in range(T):
-            gt = ds.load_image(i, "gt")
-            gt_l.append(u8(ds.bg_img if gt is None else gt))
+        bg_l, mask_l = [], []
+        for i in range(len(ds)):
             bg = ds.frame_bg_torso(i)
-            bg_l.append(u8(ds.bg_img if bg is None else bg))
+            bg_l.append(frame_store.quantize_u8(ds.bg_img if bg is None else bg))
             mask_l.append(self._face_mask(i))
-            pose_l.append(ds.frame_pose(i))
         self._dev_frames = {
-            "gt": jnp.asarray(np.stack(gt_l)),
+            **frame_store.base_device_frames(ds),
             "bg": jnp.asarray(np.stack(bg_l)),
             "mask": jnp.asarray(np.stack(mask_l)),
-            "poses": jnp.asarray(np.stack(pose_l).astype(np.float32)),
-            "conds_all": jnp.asarray(np.asarray(ds.conds_all, np.float32)),
-            "frame_ids": jnp.asarray(np.asarray(ds.frame_ids, np.int32)),
-            "eye": jnp.asarray(np.asarray(ds.eye_area_percents, np.float32)),
         }
         return self._dev_frames
 
     def _make_ray_gather(self):
         """On-device batch assembly for sampled ray indices (inside jit)."""
+        from genefaceplusplus_tpu.training import frame_store
+
         ds = self.dataset
         H, W = ds.H, ds.W
         T_all = len(ds.conds_all)
@@ -229,19 +226,12 @@ class HeadNeRFTask:
         smo = ds.smo_win_size
 
         def gather(frames, idx, inds):
-            from genefaceplusplus_tpu.utils.rays import pixel_rays
-
-            rays_o, rays_d, _ = pixel_rays(frames["poses"][idx][None], intr, H, W,
-                                           inds[None])
-            g = frames["frame_ids"][idx]
-            rel = jnp.arange(smo) - smo // 2
-            offs = jnp.clip(g + rel, 0, T_all - 1)
-            valid = ((g + rel) >= 0) & ((g + rel) < T_all)
-            cond = frames["conds_all"][offs] * valid[:, None, None]
+            rays_o, rays_d = frame_store.device_frame_rays(
+                frames, idx, intr, H, W, inds)
             return {
-                "rays_o": rays_o[0],
-                "rays_d": rays_d[0],
-                "cond": cond,
+                "rays_o": rays_o,
+                "rays_d": rays_d,
+                "cond": frame_store.device_cond_window(frames, idx, smo, T_all),
                 "gt_rgb": frames["gt"][idx].reshape(-1, 3)[inds].astype(jnp.float32) / 255.0,
                 "bg_color": frames["bg"][idx].reshape(-1, 3)[inds].astype(jnp.float32) / 255.0,
                 "face_mask": frames["mask"][idx].reshape(-1)[inds],
@@ -251,16 +241,19 @@ class HeadNeRFTask:
 
         return gather
 
-    def sample_train_batch(self, global_step: int = 0) -> Dict[str, jnp.ndarray]:
+    def sample_train_batch(self, global_step=None) -> Dict[str, jnp.ndarray]:
         """Sampling = frame index + ray indices; everything else is gathered
         ON DEVICE inside the jitted step from the resident frame store."""
+        if global_step is not None:
+            self._host_step = int(global_step)
+        gs = self._host_step or 0
         self._device_frames()  # built once, before the first step
         ds = self.dataset
         idx = int(self.np_rng.randint(len(ds)))
         H, W = ds.H, ds.W
         lip_active = (
             self.task_cfg.finetune_lips
-            and global_step > self.task_cfg.finetune_lips_start_iter
+            and gs > self.task_cfg.finetune_lips_start_iter
         )
         if lip_active:
             # alternate lip-window and full-image iterations (radnerf.py:158-160)
@@ -291,7 +284,9 @@ class HeadNeRFTask:
             intr = tuple(float(x) for x in np.asarray(ds.intrinsics).reshape(-1))
             H, W = ds.H, ds.W
 
-            def live_frac(pose, inds, occupancy):
+            use_noise = bool(opts.perturb)
+
+            def live_frac(pose, inds, occupancy, noise):
                 rays_o, rays_d, _ = pixel_rays(pose[None], intr, H, W, inds[None])
                 rays_o, rays_d = rays_o[0], rays_d[0]
                 aabb = make_aabb(cfg.bound)
@@ -302,7 +297,7 @@ class HeadNeRFTask:
                     rays_o, rays_d, nears, fars, occ_box,
                     bound=cfg.bound, dt_gamma=opts.dt_gamma,
                     max_steps=opts.max_steps, num_samples=opts.num_samples,
-                    noise=None, min_near=cfg.min_near,
+                    noise=noise if use_noise else None, min_near=cfg.min_near,
                     grid_size=occupancy.shape[0],
                 )
                 return jnp.mean(m.mask.astype(jnp.float32))
@@ -312,9 +307,14 @@ class HeadNeRFTask:
         for _ in range(n_probes):
             idx = int(self.np_rng.randint(len(ds)))
             inds = self.np_rng.randint(0, ds.H * ds.W, size=self.task_cfg.n_rays)
+            # probe under the SAME perturb jitter training marches with —
+            # an unjittered probe can undercount the live set the jittered
+            # train step will actually produce
+            noise = jnp.asarray(
+                self.np_rng.random_sample(self.task_cfg.n_rays), jnp.float32)
             fracs.append(float(self._jit_live_frac(
                 jnp.asarray(ds.frame_pose(idx), jnp.float32),
-                jnp.asarray(inds.astype(np.int32)), self.occupancy)))
+                jnp.asarray(inds.astype(np.int32)), self.occupancy, noise)))
         return max(fracs)
 
     def _enable_train_compaction(self):
@@ -398,6 +398,8 @@ class HeadNeRFTask:
         return jax.jit(step)
 
     def train_step(self, state: TrainState, batch):
+        if self._host_step is None:  # one-time device sync (test/resume path)
+            self._host_step = int(state.global_step)
         frames = self._device_frames()
         idx = jnp.asarray(batch["frame_idx"], jnp.int32)
         inds = jnp.asarray(batch["inds"], jnp.int32)
@@ -408,20 +410,23 @@ class HeadNeRFTask:
         else:
             cs = self.task_cfg.train_compact_start
             if (cs > 0 and self._compact_step is None
-                    and int(state.global_step) >= cs):
+                    and self._host_step >= cs):
                 self._enable_train_compaction()
             step_fn = self._compact_step if self._compact_step is not None \
                 else self._train_step
             state, metrics = step_fn(state, frames, idx, inds, self.occupancy)
             metrics.update(self._compact_telemetry)
         metrics.update(self.grid_telemetry)
+        self._host_step += 1
         return state, metrics
 
     def update_extra_state(self, state: TrainState):
         """Density-grid EMA refresh with a random condition (renderer.py:201-284).
         Skipped during lip finetuning (radnerf.py:184-188)."""
+        gs = self._host_step if self._host_step is not None \
+            else int(state.global_step)
         if (self.task_cfg.finetune_lips
-                and int(state.global_step) > self.task_cfg.finetune_lips_start_iter):
+                and gs > self.task_cfg.finetune_lips_start_iter):
             return
         ds = self.dataset
         idx = int(self.np_rng.randint(len(ds)))
@@ -540,7 +545,7 @@ class HeadNeRFTask:
             if gt is None:
                 continue
             mse = float(jnp.mean((out.rgb_map - gt.reshape(-1, 3)) ** 2))
-            psnrs.append(-10.0 * np.log10(mse))
+            psnrs.append(-10.0 * np.log10(max(mse, 1e-10)))
         return {"val_psnr": float(np.mean(psnrs))} if psnrs else {}
 
     def extra_state_dict(self):

@@ -88,7 +88,20 @@ class SRHeadNeRFTask(HeadNeRFTask):
                     EG3DDualDiscriminator,
                 )
 
-                self.disc_model = EG3DDualDiscriminator(img_resolution=H2)
+                # mapping depth from the converted ckpt dir's config.yaml
+                # (written by scripts/convert_ckpt.py --type disc); default
+                # matches the reference's MappingNetwork num_layers=8
+                n_map = 8
+                if task_cfg.disc_model_dir:
+                    try:
+                        from genefaceplusplus_tpu.config import set_hparams
+
+                        dcfg = set_hparams(work_dir=task_cfg.disc_model_dir)
+                        n_map = int(dcfg.get("disc_mapping_layers", 8))
+                    except (OSError, ValueError):
+                        pass
+                self.disc_model = EG3DDualDiscriminator(
+                    img_resolution=H2, mapping_layers=n_map)
             else:
                 from genefaceplusplus_tpu.models.dual_discriminator import (
                     DualDiscriminator,
@@ -149,17 +162,15 @@ class SRHeadNeRFTask(HeadNeRFTask):
             return self._dev_frames
         import cv2
 
+        from genefaceplusplus_tpu.training import frame_store
+
+        u8 = frame_store.quantize_u8
         ds = self.dataset
         T, H, W = len(ds), ds.H, ds.W
         win = min(self.task_cfg.lip_window, H, W)
         sc = H / int(ds.ds["H"])
 
-        def u8(img):
-            img = np.asarray(img)[..., :3]
-            return (np.clip(np.round(img * 255.0), 0, 255).astype(np.uint8)
-                    if img.dtype != np.uint8 else img)
-
-        gt_l, gt2_l, bg_l, mask_l, lip_l, pose_l = [], [], [], [], [], []
+        gt2_l, bg_l, mask_l, lip_l = [], [], [], []
         for i in range(T):
             gt = ds.load_image(i, "gt")
             gt = ds.bg_img if gt is None else gt
@@ -168,7 +179,6 @@ class SRHeadNeRFTask(HeadNeRFTask):
                 g2 = cv2.resize(np.asarray(gt), (2 * W, 2 * H))
             bg = ds.frame_bg_torso(i)
             bg = ds.bg_img if bg is None else bg
-            gt_l.append(u8(gt))
             gt2_l.append(u8(g2))
             bg_l.append(u8(bg))
             mask_l.append(self._face_mask(i))
@@ -177,7 +187,6 @@ class SRHeadNeRFTask(HeadNeRFTask):
             cx = int((rect[2] + rect[3]) / 2 * sc)
             lip_l.append([int(np.clip(cy - win // 2, 0, H - win)),
                           int(np.clip(cx - win // 2, 0, W - win))])
-            pose_l.append(ds.frame_pose(i))
         if self.disc_model is not None:
             from genefaceplusplus_tpu.data.eg3d_convention import (
                 eg3d_camera_from_euler_trans,
@@ -189,21 +198,19 @@ class SRHeadNeRFTask(HeadNeRFTask):
         else:
             cams = np.zeros((T, 25), np.float32)
         self._dev_frames = {
-            "gt": jnp.asarray(np.stack(gt_l)),
+            **frame_store.base_device_frames(ds),
             "gt2x": jnp.asarray(np.stack(gt2_l)),
             "bg": jnp.asarray(np.stack(bg_l)),
             "mask": jnp.asarray(np.stack(mask_l)),
             "lip_xy0": jnp.asarray(np.asarray(lip_l, np.int32)),
-            "poses": jnp.asarray(np.stack(pose_l).astype(np.float32)),
-            "conds_all": jnp.asarray(np.asarray(ds.conds_all, np.float32)),
-            "frame_ids": jnp.asarray(np.asarray(ds.frame_ids, np.int32)),
-            "eye": jnp.asarray(np.asarray(ds.eye_area_percents, np.float32)),
             "camera": jnp.asarray(cams),
         }
         return self._dev_frames
 
     def _make_gather(self):
         """On-device batch assembly from the frame store (inside jit)."""
+        from genefaceplusplus_tpu.training import frame_store
+
         ds = self.dataset
         H, W = ds.H, ds.W
         T_all = len(ds.conds_all)
@@ -211,19 +218,12 @@ class SRHeadNeRFTask(HeadNeRFTask):
         smo = ds.smo_win_size
 
         def gather(frames, idx):
-            from genefaceplusplus_tpu.utils.rays import pixel_rays
-
-            rays_o, rays_d, _ = pixel_rays(frames["poses"][idx][None], intr, H, W)
-            # cond window over the FULL timeline (frame_cond_window parity)
-            g = frames["frame_ids"][idx]
-            rel = jnp.arange(smo) - smo // 2
-            offs = jnp.clip(g + rel, 0, T_all - 1)
-            valid = ((g + rel) >= 0) & ((g + rel) < T_all)
-            cond = frames["conds_all"][offs] * valid[:, None, None]
+            rays_o, rays_d = frame_store.device_frame_rays(frames, idx, intr, H, W)
             return {
-                "rays_o": rays_o[0],
-                "rays_d": rays_d[0],
-                "cond": cond,
+                "rays_o": rays_o,
+                "rays_d": rays_d,
+                # cond window over the FULL timeline (frame_cond_window parity)
+                "cond": frame_store.device_cond_window(frames, idx, smo, T_all),
                 "gt_rgb": frames["gt"][idx].astype(jnp.float32).reshape(-1, 3) / 255.0,
                 "gt_rgb_2x": frames["gt2x"][idx].astype(jnp.float32).reshape(-1, 3) / 255.0,
                 "bg_color": frames["bg"][idx].astype(jnp.float32).reshape(-1, 3) / 255.0,
@@ -330,10 +330,12 @@ class SRHeadNeRFTask(HeadNeRFTask):
 
         return step
 
-    def sample_train_batch(self) -> Dict:
+    def sample_train_batch(self, global_step=None) -> Dict:
         """Full-frame sampling = just a frame index; the batch (rays, gt,
         gt2x, bg, mask, cond window, camera) is gathered ON DEVICE inside
         the jitted step from the resident frame store (_device_frames)."""
+        if global_step is not None:
+            self._host_step = int(global_step)
         self._device_frames()  # built once, before the first step
         return {"frame_idx": int(self.np_rng.randint(len(self.dataset)))}
 
@@ -345,7 +347,9 @@ class SRHeadNeRFTask(HeadNeRFTask):
                        static_argnames=("use_lpips", "use_sr"))
 
     def train_step(self, state, batch):
-        step = int(state.global_step)
+        if self._host_step is None:  # one-time device sync (test/resume path)
+            self._host_step = int(state.global_step)
+        step = self._host_step
         cs = self.task_cfg.train_compact_start
         if cs > 0 and self._compact_step is None and step >= cs:
             self._enable_train_compaction()
@@ -358,6 +362,7 @@ class SRHeadNeRFTask(HeadNeRFTask):
             jnp.asarray(batch["frame_idx"], jnp.int32), self.occupancy,
             use_sr=use_sr, use_lpips=use_lpips)
         metrics.update(self._compact_telemetry)
+        self._host_step = step + 1
         return state, metrics
 
     def validate(self, state, max_frames: int = 2, save_dir: str = ""):

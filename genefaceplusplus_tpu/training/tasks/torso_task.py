@@ -53,6 +53,7 @@ class TorsoNeRFTask:
         self.seed = seed
         self.lambda_we = cfg.get("lambda_weights_entropy", 1e-4)
         self.lambda_deform = cfg.get("lambda_torso_deform", 0.0)
+        self.val_dataset: Optional[RADNeRFDataset] = None  # set by run.py
 
         # frozen head params + trained occupancy grid from the head ckpt
         # (the head must march with the same grid it was trained with —
@@ -173,29 +174,22 @@ class TorsoNeRFTask:
         device; the only per-step transfer is the frame index."""
         if getattr(self, "_dev_frames", None) is not None:
             return self._dev_frames
+        from genefaceplusplus_tpu.training import frame_store
+
         ds = self.dataset
-        T, H, W = len(ds), ds.H, ds.W
-        gt_l, pose_l, lm_l = [], [], []
-        for i in range(T):
-            gt = ds.load_image(i, "gt")
-            gt = ds.bg_img if gt is None else gt
-            gt_l.append((np.clip(np.round(np.asarray(gt)[..., :3] * 255), 0, 255)
-                         ).astype(np.uint8))
-            pose_l.append(ds.frame_pose(i))
-            lm_l.append(self._frame_lm68(i))
+        H, W = ds.H, ds.W
+        lm_l = [self._frame_lm68(i) for i in range(len(ds))]
         self._dev_frames = {
-            "gt": jnp.asarray(np.stack(gt_l)),
-            "poses": jnp.asarray(np.stack(pose_l).astype(np.float32)),
+            **frame_store.base_device_frames(ds),
             "lm68": jnp.asarray(np.stack(lm_l).astype(np.float32)),
-            "conds_all": jnp.asarray(np.asarray(ds.conds_all, np.float32)),
-            "frame_ids": jnp.asarray(np.asarray(ds.frame_ids, np.int32)),
-            "eye": jnp.asarray(np.asarray(ds.eye_area_percents, np.float32)),
             "bg_color": jnp.asarray(np.asarray(ds.bg_img, np.float32).reshape(-1, 3)),
             "bg_coords": jnp.asarray(get_bg_coords(H, W)[0]),
         }
         return self._dev_frames
 
     def _make_gather(self):
+        from genefaceplusplus_tpu.training import frame_store
+
         ds = self.dataset
         H, W = ds.H, ds.W
         T_all = len(ds.conds_all)
@@ -203,18 +197,11 @@ class TorsoNeRFTask:
         smo = ds.smo_win_size
 
         def gather(frames, idx):
-            from genefaceplusplus_tpu.utils.rays import pixel_rays
-
-            rays_o, rays_d, _ = pixel_rays(frames["poses"][idx][None], intr, H, W)
-            g = frames["frame_ids"][idx]
-            rel = jnp.arange(smo) - smo // 2
-            offs = jnp.clip(g + rel, 0, T_all - 1)
-            valid = ((g + rel) >= 0) & ((g + rel) < T_all)
-            cond = frames["conds_all"][offs] * valid[:, None, None]
+            rays_o, rays_d = frame_store.device_frame_rays(frames, idx, intr, H, W)
             return {
-                "rays_o": rays_o[0],
-                "rays_d": rays_d[0],
-                "cond": cond,
+                "rays_o": rays_o,
+                "rays_d": rays_d,
+                "cond": frame_store.device_cond_window(frames, idx, smo, T_all),
                 "gt_rgb": frames["gt"][idx].astype(jnp.float32).reshape(-1, 3) / 255.0,
                 "bg_color": frames["bg_color"],
                 "bg_coords": frames["bg_coords"],
@@ -239,8 +226,8 @@ class TorsoNeRFTask:
             return np.asarray(lms, np.float32)[None]
         return ds.ds["idexp_lm3d"][idx].reshape(68, 3)[:, :2][None]
 
-    def sample_frame_batch(self, idx: int) -> Dict:
-        ds = self.dataset
+    def sample_frame_batch(self, idx: int, ds: Optional[RADNeRFDataset] = None) -> Dict:
+        ds = self.dataset if ds is None else ds
         H, W = ds.H, ds.W
         # torso training renders full (small) frames: rays over all pixels
         pose = jnp.asarray(ds.frame_pose(idx)[None])
@@ -248,7 +235,11 @@ class TorsoNeRFTask:
         gt = ds.load_image(idx, "gt")
         if gt is None:
             gt = ds.bg_img
-        lm = self._frame_lm68(idx)
+        lm = self._frame_lm68(idx, ds)
+        # individual code by GLOBAL frame id — the embedding table covers
+        # the full timeline, so held-out frames keep their own code
+        gid = min(int(ds.frame_ids[idx]),
+                  self.torso_cfg.torso_individual_embedding_num - 1)
         return {
             "rays_o": rays_o[0],
             "rays_d": rays_d[0],
@@ -257,7 +248,7 @@ class TorsoNeRFTask:
             "bg_color": jnp.asarray(ds.bg_img.reshape(-1, 3)),
             "bg_coords": jnp.asarray(get_bg_coords(H, W)[0]),
             "lm68": jnp.asarray(lm, jnp.float32),
-            "idx": idx,
+            "idx": max(gid, 0),
             "eye_area_percent": jnp.asarray(ds.eye_area_percents[idx : idx + 1]),
         }
 
@@ -301,7 +292,7 @@ class TorsoNeRFTask:
         axon tunnel — ~10 min per validation (docs/DESIGN.md tunnel rules).
         The occupancy-2D threshold enters as a traced scalar so the varying
         mean_density_torso never retriggers compilation."""
-        ds = self.dataset
+        ds = self.val_dataset if self.val_dataset is not None else self.dataset
         if getattr(self, "_jit_val", None) is None:
             head_model, torso_model, opts = self.head_model, self.torso_model, self.opts
             hw = (ds.H, ds.W)
@@ -324,7 +315,7 @@ class TorsoNeRFTask:
                if self.mean_density_torso > 0 else self.torso_cfg.density_thresh_torso)
         psnrs = []
         for i in range(min(max_frames, len(ds))):
-            batch = self.sample_frame_batch(i)
+            batch = self.sample_frame_batch(i, ds)
             rgb = self._jit_val(
                 state.torso_params, self.head_params, self.occupancy,
                 self.torso_grid, jnp.asarray(thr, jnp.float32),

@@ -91,6 +91,10 @@ def convert_file(input_path: str, kind: str, out_dir: str,
         out = cvt.convert_eg3d_disc(state,
                                     img_resolution=int(cfg.get("final_resolution", 512)))
         payload = {"state_dict": {"disc": {"params": out["params"]}}}
+        # record the source's mapping depth in the self-describing config so
+        # sr_task builds a matching EG3DDualDiscriminator template (a
+        # non-default depth would otherwise fail the strict restore)
+        cfg["disc_mapping_layers"] = int(out.get("n_mapping_layers", 8))
         n = len([k for k in state])
     else:
         raise ValueError(f"unknown --type {kind!r} (a2m | head | disc)")

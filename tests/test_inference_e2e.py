@@ -317,6 +317,12 @@ def test_pipeline_auto_compact_lossless_end_to_end(tmp_path):
     poses = np.stack([ds.frame_pose(i) for i in range(4)])
     frac = infer._auto_compact_frac(poses, opts, (H, H), head_crop=None)
     assert 0.0 < frac < 0.9, frac  # engaged AND actually skipping slots
+    # quantised to the renderer's 512-slot budget granularity, so equal
+    # budgets across calls produce identical RenderOptions (jit-cache hit
+    # instead of a per-request recompile in a long-lived server)
+    M = frac * (H * H * opts.num_samples)
+    assert abs(M - round(M)) < 1e-4 and round(M) % 512 == 0, M
+    assert infer._auto_compact_frac(poses[:3], opts, (H, H), head_crop=None) in (frac, 0.0)
 
     import dataclasses
 

@@ -117,3 +117,43 @@ def test_head_validate_uses_torso_composited_background():
     task.occupancy = jnp.zeros((16, 16, 16), bool)
     val = task.validate(state, max_frames=2)
     assert val["val_psnr"] > 35.0, val
+
+
+def test_torso_validate_uses_heldout_split(monkeypatch):
+    """When run.py attaches a val split, torso validate must render THOSE
+    frames (round-2 verdict: head/SR validate held-out, torso did not)."""
+    import jax
+
+    from genefaceplusplus_tpu.config import Config
+    from genefaceplusplus_tpu.models.radnerf import RADNeRFConfig
+    from genefaceplusplus_tpu.training.tasks.torso_task import TorsoNeRFTask
+
+    data = synthetic(num_frames=12, H=16, W=16)
+    ds = RADNeRFDataset(data, split="train", smo_win_size=3, with_sr=False)
+    cfg = Config({
+        "torso_individual_embedding_dim": 4, "individual_embedding_num": 16,
+        "torso_head_aware": True, "lr": 1e-3, "max_steps": 8,
+        "lambda_weights_entropy": 1e-4, "head_model_dir": "",
+    })
+    mcfg = RADNeRFConfig(
+        grid_size=16, individual_embedding_num=16, smo_win_size=3,
+        fourier_pos_features=16, fourier_amb_features=8,
+        hidden_dim_sigma=32, hidden_dim_ambient=32, hidden_dim_color=32,
+        geo_feat_dim=16,
+    )
+    task = TorsoNeRFTask(ds, mcfg, cfg)
+    task.opts = task.opts.__class__(max_steps=8, num_coarse=8, num_samples=4)
+    task.val_dataset = RADNeRFDataset(data, split="val", smo_win_size=3,
+                                      with_sr=False)
+    state = task.create_state()
+    seen = []
+    orig = TorsoNeRFTask.sample_frame_batch
+
+    def spy(self, idx, ds=None):
+        seen.append(ds)
+        return orig(self, idx, ds)
+
+    monkeypatch.setattr(TorsoNeRFTask, "sample_frame_batch", spy)
+    metrics = task.validate(state, max_frames=1)
+    assert metrics and np.isfinite(metrics["val_psnr"])
+    assert seen and all(d is task.val_dataset for d in seen)
