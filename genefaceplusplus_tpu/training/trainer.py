@@ -145,9 +145,58 @@ class Trainer:
         except ValueError:
             pass  # non-main thread (tests): no handler, flag stays False
 
+    def _start_stall_watchdog(self):
+        """Detect a wedged device call and exit(43) so an outer loop resumes.
+
+        Failure mode this guards (observed on the remote-TPU tunnel): a
+        device RPC silently loses its response and the host blocks forever
+        in a futex wait inside the runtime — no exception, no progress, no
+        signal. The torch analogue is the NCCL watchdog timeout that DDP
+        installs per process group; single-process JAX has no built-in
+        equivalent, so the trainer keeps a host-side heartbeat (bumped once
+        per step-loop iteration and around validation/save) and a daemon
+        thread that calls os._exit(43) when the heartbeat goes stale for
+        GFPP_STALL_TIMEOUT_S seconds (default 1800; 0 disables).
+
+        Exit instead of recover: the wedged runtime cannot be torn down
+        in-process (even device_get hangs), and state is device-side, so a
+        checkpoint is impossible — the recovery unit is the process. Paired
+        with resume=True and scripts/resilient_run.sh, a lost RPC costs at
+        most val_check_interval steps. The timeout must exceed the longest
+        legitimate host block: one tb_log_interval of steps plus the first
+        remote compile (minutes through the tunnel) — 30 min clears both
+        with margin on every measured config."""
+        import threading
+
+        timeout = float(os.environ.get("GFPP_STALL_TIMEOUT_S", "1800"))
+        self._heartbeat = time.time()
+        self._watchdog_stop = threading.Event()
+        if timeout <= 0:
+            return
+
+        def _watch():
+            while not self._watchdog_stop.wait(min(15.0, timeout / 4.0)):
+                idle = time.time() - self._heartbeat
+                if idle > timeout:
+                    self.logger.log(
+                        f"| STALL: no step progress for {idle:.0f}s "
+                        f"(> GFPP_STALL_TIMEOUT_S={timeout:.0f}) — device call "
+                        "presumed wedged; exiting 43 for outer resume")
+                    os._exit(43)
+
+        threading.Thread(target=_watch, daemon=True, name="stall-watchdog").start()
+
     def fit(self, resume: bool = True):
         task = self.task
         self._install_preemption_handler()
+        self._start_stall_watchdog()
+        try:
+            return self._fit_inner(resume)
+        finally:
+            self._watchdog_stop.set()
+
+    def _fit_inner(self, resume: bool = True):
+        task = self.task
         state = task.create_state()
         start_step = 0
         if resume:
@@ -168,6 +217,7 @@ class Trainer:
         meters = Meters()
         t0 = time.time()
         for step in range(start_step, self.max_updates):
+            self._heartbeat = time.time()
             if self._preempted:
                 self.save(state, step)
                 self.logger.log(f"| preempted at step {step}; checkpoint saved, exiting")
@@ -196,6 +246,7 @@ class Trainer:
                 meters.reset()
 
             if (step + 1) % self.val_check_interval == 0 or step + 1 == self.max_updates:
+                self._heartbeat = time.time()
                 try:
                     val_metrics = task.validate(state, save_dir=self.work_dir)
                 except TypeError:  # tasks without render saving
