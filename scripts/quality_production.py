@@ -35,6 +35,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 DATA_DIR = os.environ.get("SYNTH_DATA_DIR", "/tmp/gfpp_synth")
 DATA = os.path.join(DATA_DIR, "synth512", "trainval_dataset.npy")
 DETECTOR = os.path.join(DATA_DIR, "lmd_detector.msgpack")
+DETECTOR2 = os.path.join(DATA_DIR, "lmd_detector_v2.msgpack")
 WORKROOT = os.environ.get("SYNTH_WORKROOT", "checkpoints")
 
 
@@ -225,6 +226,58 @@ def _detector():
     return LMDetector()
 
 
+def _detector_v2():
+    """Heatmap + spatial soft-argmax landmark head (the v2 instrument).
+
+    v1 regresses 136 coords from an 8x8 bottleneck — its ~5.5 px floor at
+    512 is the head's quantisation, not the data's. v2 is the standard
+    landmark-precision fix: a light U-Net decodes back to a 32x32 map, a
+    1x1 conv emits one heatmap per landmark, and spatial soft-argmax reads
+    out sub-cell coordinates (differentiable, trained end-to-end with the
+    same coordinate L1). A per-model 2x2 linear calibration (init identity)
+    absorbs any axis convention mismatch between heatmap (col,row) order
+    and the dataset's landmark layout instead of hard-coding it."""
+    import flax.linen as nn
+    import jax
+    import jax.numpy as jnp
+
+    class LMDetectorV2(nn.Module):
+        @nn.compact
+        def __call__(self, x):  # [B, 128, 128, 3] in [0,1]
+            skips = {}
+            for res, ch in ((64, 32), (32, 64), (16, 128), (8, 256)):
+                x = nn.relu(nn.Conv(ch, (3, 3), strides=(2, 2))(x))
+                x = nn.relu(nn.Conv(ch, (3, 3))(x))
+                skips[res] = x
+            x = nn.relu(nn.ConvTranspose(128, (3, 3), strides=(2, 2))(x) + skips[16])
+            x = nn.relu(nn.Conv(128, (3, 3))(x))
+            x = nn.relu(nn.ConvTranspose(64, (3, 3), strides=(2, 2))(x) + skips[32])
+            x = nn.relu(nn.Conv(64, (3, 3))(x))
+            h = nn.Conv(68, (1, 1))(x)  # [B, 32, 32, 68] logits
+            temp = self.param("softargmax_temp", lambda k: jnp.asarray(10.0))
+            B, Hh, Wh, L = h.shape
+            probs = jax.nn.softmax((h * temp).reshape(B, Hh * Wh, L), axis=1)
+            cell = (jnp.arange(Hh, dtype=jnp.float32) + 0.5)
+            rows = jnp.repeat(cell / Hh, Wh)      # [Hh*Wh] normalised row
+            cols = jnp.tile(cell / Wh, Hh)        # [Hh*Wh] normalised col
+            r = jnp.einsum("bpl,p->bl", probs, rows)
+            c = jnp.einsum("bpl,p->bl", probs, cols)
+            raw = jnp.stack([c, r], axis=-1)      # [B, 68, 2] (col=x-ish, row=y-ish)
+            W = self.param("calib_w", lambda k: jnp.eye(2))
+            b = self.param("calib_b", lambda k: jnp.zeros((2,)))
+            return (raw @ W + b).reshape(B, 136)
+
+    return LMDetectorV2()
+
+
+def _detector_for(arch: str):
+    return _detector() if arch == "v1" else _detector_v2()
+
+
+def _detector_path(arch: str) -> str:
+    return DETECTOR if arch == "v1" else DETECTOR2
+
+
 def _to_det_input(img_u8):
     """512² (or any) uint8/float frame -> [128,128,3] float in [0,1]."""
     import cv2
@@ -241,12 +294,14 @@ def _to_det_input(img_u8):
 def stage_lmd(args):
     import jax
 
-    jax.config.update("jax_platforms", "cpu")  # never contend with the TPU runs
+    if not getattr(args, "tpu", False):
+        jax.config.update("jax_platforms", "cpu")  # never contend with the TPU runs
     import jax.numpy as jnp
     import numpy as np
     import optax
     from flax import serialization
 
+    arch = getattr(args, "arch", "v1")
     ds = np.load(DATA, allow_pickle=True).tolist()
     train, val = ds["train_samples"], ds["val_samples"]
     X = np.stack([_to_det_input(s["gt_img"]) for s in train])
@@ -254,18 +309,25 @@ def stage_lmd(args):
     Xv = np.stack([_to_det_input(s["gt_img"]) for s in val])
     Yv = np.stack([s["lms"].reshape(-1) for s in val])
 
-    det = _detector()
+    det = _detector_for(arch)
     params = det.init(jax.random.PRNGKey(0), jnp.zeros((1, 128, 128, 3)))
     tx = optax.adam(3e-4)
     opt = tx.init(params)
 
     @jax.jit
     def step(params, opt, xb, yb, key):
-        # augment: brightness/noise/blur-ish jitter so the detector
-        # transfers from GT appearance to NeRF renders
-        k1, k2 = jax.random.split(key)
+        # augment: brightness/noise jitter so the detector transfers from
+        # GT appearance to NeRF renders; v2 adds random translations (the
+        # soft-argmax head is spatially structured, so shift equivariance
+        # must come from data, with labels shifted to match)
+        k1, k2, k3 = jax.random.split(key, 3)
         xb = jnp.clip(xb * jax.random.uniform(k1, (len(xb), 1, 1, 1), minval=0.85, maxval=1.15)
                       + 0.02 * jax.random.normal(k2, xb.shape), 0, 1)
+        if arch == "v2":
+            sh = jax.random.randint(k3, (len(xb), 2), -8, 9)  # (dy, dx) px @128
+            xb = jax.vmap(lambda im, s: jnp.roll(im, s, axis=(0, 1)))(xb, sh)
+            d = jnp.stack([sh[:, 1], sh[:, 0]], -1).astype(jnp.float32) / 128.0
+            yb = (yb.reshape(len(xb), 68, 2) + d[:, None, :]).reshape(len(xb), -1)
 
         def loss_fn(p):
             pred = det.apply(p, xb)
@@ -275,6 +337,7 @@ def stage_lmd(args):
         upd, opt = tx.update(grads, opt, params)
         return optax.apply_updates(params, upd), opt, loss
 
+    predict = jax.jit(det.apply)
     rng = np.random.RandomState(0)
     key = jax.random.PRNGKey(1)
     t0 = time.time()
@@ -283,32 +346,87 @@ def stage_lmd(args):
         key, sub = jax.random.split(key)
         params, opt, loss = step(params, opt, jnp.asarray(X[idx]), jnp.asarray(Y[idx]), sub)
         if (it + 1) % 500 == 0:
-            pv = det.apply(params, jnp.asarray(Xv))
+            pv = predict(params, jnp.asarray(Xv))
             floor = float(jnp.mean(jnp.linalg.norm(
                 (pv.reshape(-1, 68, 2) - Yv.reshape(-1, 68, 2)) * 512.0, axis=-1)))
             print(f"| it {it + 1} train_l1={float(loss):.4f} "
                   f"val_floor={floor:.2f}px ({time.time() - t0:.0f}s)")
-    os.makedirs(os.path.dirname(DETECTOR), exist_ok=True)
-    with open(DETECTOR, "wb") as f:
+    path = _detector_path(arch)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "wb") as f:
         f.write(serialization.msgpack_serialize(
             jax.tree.map(lambda x: np.asarray(x), params)))
-    print(f"| detector at {DETECTOR}; held-out GT floor {floor:.2f}px @512")
+    print(f"| detector ({arch}) at {path}; held-out GT floor {floor:.2f}px @512")
 
 
-def detect_lmd(frames_u8, gt_lms) -> float:
+def detect_lmd(frames_u8, gt_lms, arch: str = "v1") -> float:
     """Mean landmark distance (px at 512) of detector(render) vs GT lms."""
     import jax
     import jax.numpy as jnp
     import numpy as np
     from flax import serialization
 
-    det = _detector()
-    with open(DETECTOR, "rb") as f:
+    det = _detector_for(arch)
+    with open(_detector_path(arch), "rb") as f:
         params = serialization.msgpack_restore(f.read())
     X = jnp.asarray(np.stack([_to_det_input(f_) for f_ in frames_u8]))
     pred = np.asarray(jax.jit(det.apply)(params, X)).reshape(-1, 68, 2)
     gt = np.asarray(gt_lms).reshape(-1, 68, 2)
     return float(np.mean(np.linalg.norm((pred - gt) * 512.0, axis=-1)))
+
+
+def _lmd_report(res: dict, renders, gts, lms):
+    """Fill LMD keys for every trained instrument (v1, and v2 when present)."""
+    import numpy as np
+
+    stack = np.stack(lms)
+    if os.path.exists(DETECTOR):
+        res["val_lmd_px_512"] = round(detect_lmd(renders, stack), 2)
+        res["lmd_floor_px_512"] = round(detect_lmd(gts, stack), 2)
+    if os.path.exists(DETECTOR2):
+        res["val_lmd_px_512_v2"] = round(detect_lmd(renders, stack, arch="v2"), 2)
+        res["lmd_floor_px_512_v2"] = round(detect_lmd(gts, stack, arch="v2"), 2)
+    return res
+
+
+def stage_lmd_remeasure(args):
+    """Re-measure LMD of a committed clip against val GT with every trained
+    detector — lets a sharper instrument re-grade existing artifacts
+    without re-rendering. Clips are written frame-aligned to the val split
+    as side-by-side GT | render panels (stage_eval/stage_eval_torso), so
+    the right half is the render under test and the left half doubles as a
+    compression-matched in-clip floor alongside the pristine dataset GT."""
+    import cv2
+    import jax
+    import numpy as np
+
+    jax.config.update("jax_platforms", "cpu")
+    ds = np.load(DATA, allow_pickle=True).tolist()
+    val = ds["val_samples"]
+    gts = [np.asarray(s["gt_img"]) for s in val]
+    lms = [s["lms"] for s in val]
+    cap = cv2.VideoCapture(args.clip)
+    renders, clip_gts = [], []
+    while True:
+        ok, f = cap.read()
+        if not ok:
+            break
+        f = cv2.cvtColor(f, cv2.COLOR_BGR2RGB)
+        half = f.shape[1] // 2
+        clip_gts.append(f[:, :half])
+        renders.append(f[:, half:])
+    n = min(len(renders), len(gts))
+    if len(renders) != len(gts):
+        print(f"| WARNING: clip has {len(renders)} frames, val split {len(gts)}; "
+              f"comparing first {n}")
+    res = _lmd_report({"clip": args.clip, "frames": n},
+                      renders[:n], gts[:n], lms[:n])
+    # compression-matched floor: same detectors on the clip's own GT half
+    comp = _lmd_report({}, clip_gts[:n], gts[:n], lms[:n])
+    for k, v in comp.items():
+        if k.startswith("val_lmd"):
+            res[k.replace("val_lmd", "clipgt_lmd")] = v
+    print(json.dumps(res))
 
 
 # ---------------------------------------------------------------- eval
@@ -365,9 +483,7 @@ def stage_eval(args):
         "val_sr_psnr_512": round(float(np.mean(sr_psnrs)), 2),
         "n_val_frames": len(va),
     }
-    if os.path.exists(DETECTOR):
-        res["val_lmd_px_512"] = round(detect_lmd(renders, np.stack(lms)), 2)
-        res["lmd_floor_px_512"] = round(detect_lmd(gts, np.stack(lms)), 2)
+    res = _lmd_report(res, renders, gts, lms)
 
     # clip artifact: GT | render side by side, 25 fps
     if args.clip:
@@ -458,9 +574,7 @@ def stage_parity(args):
             "sec_per_step": round(wall / max(1, args.steps), 3),
             "val_sr_psnr_256": round(float(np.mean(sr_psnrs)), 2),
         }
-        if os.path.exists(DETECTOR):
-            res["val_lmd_px_512"] = round(detect_lmd(renders, np.stack(lms)), 2)
-            res["lmd_floor_px_512"] = round(detect_lmd(gts, np.stack(lms)), 2)
+        res = _lmd_report(res, renders, gts, lms)
         results[variant] = res
         print(f"| parity {variant}: {json.dumps(res)}")
     out = os.path.join(WORKROOT, "parity128_results.json")
@@ -569,9 +683,7 @@ def stage_eval_torso(args):
         "val_raw_psnr_composite": round(float(np.mean(raw_psnrs)), 2),
         "n_val_frames": len(va),
     }
-    if os.path.exists(DETECTOR):
-        res["val_lmd_px_512"] = round(detect_lmd(renders, np.stack(lms)), 2)
-        res["lmd_floor_px_512"] = round(detect_lmd(gts, np.stack(lms)), 2)
+    res = _lmd_report(res, renders, gts, lms)
     if args.clip:
         from genefaceplusplus_tpu.data.video import StreamingVideoWriter
 
@@ -610,6 +722,12 @@ def main():
     tt.add_argument("--reset", action="store_true")
     l = sub.add_parser("lmd")
     l.add_argument("--iters", type=int, default=3000)
+    l.add_argument("--arch", type=str, default="v1", choices=["v1", "v2"])
+    l.add_argument("--tpu", action="store_true",
+                   help="train the detector on the accelerator (default CPU "
+                        "to never contend with in-flight TPU runs)")
+    lr = sub.add_parser("lmd-remeasure")
+    lr.add_argument("--clip", type=str, required=True)
     e = sub.add_parser("eval")
     e.add_argument("--variant", type=str, required=True)
     e.add_argument("--clip", type=str, default="")
@@ -626,7 +744,8 @@ def main():
     pa.add_argument("--reset", action="store_true")
     args = p.parse_args()
     {"gen": stage_gen, "measure": stage_measure, "train": stage_train,
-     "train-torso": stage_train_torso, "lmd": stage_lmd, "eval": stage_eval,
+     "train-torso": stage_train_torso, "lmd": stage_lmd,
+     "lmd-remeasure": stage_lmd_remeasure, "eval": stage_eval,
      "eval-torso": stage_eval_torso, "parity": stage_parity}[args.stage](args)
 
 
