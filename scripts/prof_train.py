@@ -40,12 +40,21 @@ PEAK_TFLOPS = {
 }
 
 
-def _time(fn, *args, n=8, sync=lambda r: None):
-    fn(*args)  # compile / warm
+def _time(fn, *args, n=8, sync=lambda r: None, vary=None):
+    """Best-of-n wall time with forced completion.
+
+    vary: optional (argname-free) callable i -> extra positional arg. The
+    remote tunnel MEMOIZES identical dispatches (docs/DESIGN.md timing
+    rules), so every timed call must differ in at least one input or the
+    loop measures the cache, not the device."""
+    def call(i):
+        return fn(*args, vary(i)) if vary is not None else fn(*args)
+
+    call(0)  # compile / warm
     best = float("inf")
-    for _ in range(n):
+    for i in range(1, n + 1):
         t0 = time.perf_counter()
-        r = fn(*args)
+        r = call(i)
         sync(r)
         best = min(best, time.perf_counter() - t0)
     return best
@@ -116,20 +125,24 @@ def main():
                           bg_color=batch["bg_color"], opts=opts, noise=noise)
         return L.mse_loss(out.rgb_map, batch["gt_rgb"])
 
-    noise = jax.random.uniform(jax.random.PRNGKey(3), (R,))
+    noises = [jax.random.uniform(jax.random.PRNGKey(100 + i), (R,)) for i in range(9)]
+    batches = [dict(batch, gt_rgb=jax.random.uniform(jax.random.PRNGKey(200 + i), (R, 3)))
+               for i in range(9)]
 
     fwd = jax.jit(loss_fn)
     fwd_bwd = jax.jit(lambda p, b, o, n: jax.value_and_grad(loss_fn)(p, b, o, n)[0])
     full = jax.jit(step, donate_argnums=())
 
-    def step_sync(f, s, b, o):
-        ns, m = f(s, b, o)
+    def step_sync(b):
+        ns, m = full(state, b, occupancy)
         float(m["total_loss"])
         return ns
 
-    t_fwd = _time(fwd, state.params, batch, occupancy, noise, sync=float)
-    t_fb = _time(fwd_bwd, state.params, batch, occupancy, noise, sync=float)
-    t_full = _time(lambda s: step_sync(full, s, batch, occupancy), state)
+    t_fwd = _time(fwd, state.params, batch, occupancy, sync=float,
+                  vary=lambda i: noises[i])
+    t_fb = _time(fwd_bwd, state.params, batch, occupancy, sync=float,
+                 vary=lambda i: noises[i])
+    t_full = _time(step_sync, vary=lambda i: batches[i])
 
     # grid refresh (jitted, as head_task does every update_extra_interval)
     from genefaceplusplus_tpu.training.grid_updater import update_density_grid
@@ -150,7 +163,8 @@ def main():
         float(c2)
         return a
 
-    t_grid = _time(refresh_sync, state.params, cond, grid0, jax.random.PRNGKey(1))
+    t_grid = _time(refresh_sync, state.params, cond, grid0,
+                   vary=lambda i: jax.random.PRNGKey(i))
 
     # XLA-reported flops for the full step -> MFU
     lowered = jax.jit(step).lower(state, batch, occupancy)
