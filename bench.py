@@ -74,7 +74,13 @@ def bench_full(n_frames: int = 50):
 
     cfg, head, head_params, cond, ro, rd, occ, H, W, pose = _setup()
     from genefaceplusplus_tpu.models.full_renderer import auto_head_crop
-    head_crop = auto_head_crop(occ, pose[None], (2.0 * W, 2.0 * H, W / 2, H / 2), H, W, bound=cfg.bound)
+    # BENCH_PAD_PX: head-crop padding A/B (ROADMAP #5; default = the
+    # pipeline's pad_px=12). The projected-corner bbox already covers the
+    # hit set exactly (perspective maps the convex AABB onto the convex
+    # hull of its 8 projected corners), so smaller pads stay lossless —
+    # verified by scripts/check_crop_pad.py.
+    head_crop = auto_head_crop(occ, pose[None], (2.0 * W, 2.0 * H, W / 2, H / 2), H, W, bound=cfg.bound,
+                               pad_px=int(os.environ.get("BENCH_PAD_PX", "12")))
     torso = TorsoField(TorsoConfig())
     bg_coords = get_bg_coords(H, W)[0]
     lm68 = jax.random.uniform(jax.random.PRNGKey(1), (1, 68, 2))

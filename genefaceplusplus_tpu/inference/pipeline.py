@@ -258,8 +258,14 @@ class GeneFaceInfer:
         poses = np.stack([ds.frame_pose(i) for i in range(len(ds))])
         self._head_bbox = auto_head_bbox(self.occupancy, poses, ds.intrinsics,
                                          ds.H, ds.W, bound=self.head_cfg.bound)
+        # head_crop_pad_px knob (ROADMAP #5): the projected-corner bbox
+        # already covers the hit set exactly, so any pad >= 0 is lossless
+        # (tests/test_full_renderer.py:test_auto_head_crop_lossless_at_any_pad,
+        # production-shape measurement scripts/check_crop_pad.py); pad only
+        # absorbs rounding headroom for drive poses near the dataset hull.
         return auto_head_crop(self.occupancy, poses, ds.intrinsics,
                               ds.H, ds.W, bound=self.head_cfg.bound,
+                              pad_px=int(self.head_cfg_raw.get("head_crop_pad_px", 12)),
                               bbox=self._head_bbox)
 
     def _auto_sr_crop(self):

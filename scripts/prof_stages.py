@@ -34,10 +34,14 @@ def setup():
     pose[2, 3] = -2.5
     rays = get_rays(jnp.asarray(pose[None]), (2.0 * W, 2.0 * H, W / 2, H / 2), H, W)
     g = cfg.grid_size
-    # the bench.py May-calibrated head occupancy (same scene => the stage
-    # attribution decomposes the headline number)
+    # the bench.py occupancies (same scenes => the stage attribution
+    # decomposes the headline numbers): May-calibrated head by default,
+    # BENCH_SCENE=fullframe for the crop-free worst case
     xx, yy, zz = np.meshgrid(*([np.linspace(-1, 1, g)] * 3), indexing="ij")
-    occupancy = jnp.asarray((xx ** 2 + (2.2 * yy) ** 2 + (1.4 * zz) ** 2) < 0.16)
+    if os.environ.get("BENCH_SCENE", "head") == "fullframe":
+        occupancy = jnp.asarray((xx ** 2 + (2 * yy) ** 2 + zz ** 2) < 0.6)
+    else:
+        occupancy = jnp.asarray((xx ** 2 + (2.2 * yy) ** 2 + (1.4 * zz) ** 2) < 0.16)
     return cfg, head, head_params, cond, rays["rays_o"][0], rays["rays_d"][0], occupancy, H, W, pose
 
 
@@ -65,8 +69,12 @@ def run_variant(with_torso=True, with_sr=True, n_frames=50):
     sr = Superresolution(channels=3, input_resolution=H, dtype=jnp.bfloat16)
     sr_params = sr.init(jax.random.PRNGKey(3), jnp.zeros((1, H, W, 3)))
     g = cfg.grid_size
-    occ2d = jnp.zeros((g, g)).at[int(0.45 * g):, int(0.15 * g):int(0.85 * g)].set(0.5)
-    torso_crop = auto_torso_crop(occ2d, H, W)
+    if os.environ.get("BENCH_SCENE", "head") == "fullframe":
+        occ2d = jnp.ones((g, g)) * 0.5  # torso everywhere (bench.py fullframe)
+        torso_crop = None
+    else:
+        occ2d = jnp.zeros((g, g)).at[int(0.45 * g):, int(0.15 * g):int(0.85 * g)].set(0.5)
+        torso_crop = auto_torso_crop(occ2d, H, W)
     bg_color = jnp.ones((H * W, 3))
     sr_crop = sr_bg = None
     if with_sr and with_torso and torso_crop is not None:

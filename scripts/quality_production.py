@@ -127,6 +127,10 @@ def stage_train(args):
         val_check_interval=args.val_interval,
         tb_log_interval=100,
         num_ckpt_keep=2,
+        # milestones every 10k: lets later rounds re-evaluate intermediate
+        # checkpoints with improved instruments (corrected-bg PSNR / LMD
+        # curves) without retraining
+        milestone_interval=10_000,
         update_extra_interval=16,
     )
     t0 = time.time()
@@ -172,6 +176,10 @@ def stage_train_torso(args):
         val_check_interval=args.val_interval,
         tb_log_interval=100,
         num_ckpt_keep=2,
+        # milestones every 10k: lets later rounds re-evaluate intermediate
+        # checkpoints with improved instruments (corrected-bg PSNR / LMD
+        # curves) without retraining
+        milestone_interval=10_000,
         update_extra_interval=16,
     )
     t0 = time.time()
@@ -443,8 +451,11 @@ def stage_eval(args):
     tr, va = _load_datasets()
     task = _build_task(args.variant, 50_000, tr, va)
     state = task.create_state()
-    ckpt, path = get_last_checkpoint(workdir(args.variant))
-    assert ckpt is not None, f"no checkpoint in {workdir(args.variant)}"
+    want = getattr(args, "ckpt_step", 0) or None
+    ckpt, path = get_last_checkpoint(workdir(args.variant), steps=want)
+    assert ckpt is not None, (
+        f"no checkpoint in {workdir(args.variant)}"
+        + (f" at step {want} (milestones are kept every 10k)" if want else ""))
     state = _from_dict(task.create_state(),
                        restore_into(_as_dict(state), ckpt["state_dict"]))
     task.load_extra_state(ckpt.get("extra_state", {}))
@@ -731,6 +742,9 @@ def main():
     e = sub.add_parser("eval")
     e.add_argument("--variant", type=str, required=True)
     e.add_argument("--clip", type=str, default="")
+    e.add_argument("--ckpt_step", type=int, default=0,
+                   help="evaluate this milestone checkpoint (0 = latest) — "
+                        "for corrected-instrument PSNR/LMD curves")
     et = sub.add_parser("eval-torso")
     et.add_argument("--variant", type=str, required=True)
     et.add_argument("--clip", type=str, default="")

@@ -1,6 +1,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from genefaceplusplus_tpu.models.full_renderer import render_full_frame
 from genefaceplusplus_tpu.models.radnerf import RADNeRF, RADNeRFConfig
@@ -163,6 +164,58 @@ def test_head_crop_matches_full_render():
     from genefaceplusplus_tpu.ops.raymarch import occupancy_aabb
 
     _, _, fits = head_crop_offset(ro, rd, occupancy_aabb(occ, 1.0), (H, W), (24, 24))
+    assert bool(fits)
+
+
+@pytest.mark.parametrize("pad_px", [12, 4, 0])
+def test_auto_head_crop_lossless_at_any_pad(pad_px):
+    """auto_head_crop is lossless for ANY pad_px >= 0: the screen bbox of
+    the occupied AABB's 8 projected corners covers the AABB's whole
+    projection (perspective maps the convex box onto the convex hull of
+    the projected corners), so every ray that can hit the box lands inside
+    the unpadded rect already — pad only absorbs rounding. Backs the
+    ROADMAP #5 pad_px A/B (scripts/check_crop_pad.py measures the same
+    equality at the bench scene's production shapes)."""
+    from genefaceplusplus_tpu.models.full_renderer import (
+        auto_head_crop, head_crop_offset)
+    from genefaceplusplus_tpu.ops.raymarch import occupancy_aabb
+
+    H = W = 32
+    head_cfg = RADNeRFConfig(
+        grid_size=16, individual_embedding_num=4, smo_win_size=3,
+        fourier_pos_features=8, fourier_amb_features=8,
+        hidden_dim_sigma=16, hidden_dim_ambient=16, hidden_dim_color=16, geo_feat_dim=8,
+    )
+    head = RADNeRF(head_cfg)
+    key = jax.random.PRNGKey(0)
+    cond = jax.random.normal(key, (3, 1, 204))
+    head_params = head.init(key, jnp.zeros((8, 3)), jnp.ones((8, 3)), cond)
+    g = head_cfg.grid_size
+    xx, yy, zz = np.meshgrid(*([np.linspace(-1, 1, g)] * 3), indexing="ij")
+    occ = jnp.asarray(((xx - 0.2) ** 2 + (yy + 0.1) ** 2 + zz ** 2) < 0.12)
+    pose = np.eye(4, dtype=np.float32)
+    pose[2, 3] = -2.5
+    intr = (2.0 * W, 2.0 * H, W / 2, H / 2)
+    rays = get_rays(jnp.asarray(pose[None]), intr, H, W)
+    ro, rd = rays["rays_o"][0], rays["rays_d"][0]
+    opts = RenderOptions(num_samples=8)
+
+    crop_hw = auto_head_crop(occ, pose[None], intr, H, W, bound=1.0,
+                             pad_px=pad_px, multiple=4)
+    if crop_hw is None:
+        # at this 32² toy scale a large pad pushes the crop past
+        # max_area_frac and auto_head_crop correctly declines to crop
+        pytest.skip(f"pad_px={pad_px} exceeds max_area_frac at 32²")
+    assert crop_hw[0] < H  # strict subwindow
+
+    full = render_full_frame(head, head_params, ro, rd, cond, occ,
+                             bg_color=0.75, opts=opts, image_hw=(H, W))
+    crop = render_full_frame(head, head_params, ro, rd, cond, occ,
+                             bg_color=0.75, opts=opts, image_hw=(H, W),
+                             head_crop=crop_hw)
+    np.testing.assert_allclose(
+        np.asarray(crop.rgb_map), np.asarray(full.rgb_map), atol=1e-5)
+    _, _, fits = head_crop_offset(ro, rd, occupancy_aabb(occ, 1.0), (H, W), crop_hw)
     assert bool(fits)
 
 
