@@ -42,11 +42,22 @@ sys.exit(1)
 
 
 def test_wedged_step_exits_43(tmp_path):
+    # share the suite's persistent compile cache (the subprocess doesn't go
+    # through conftest) and allow 600 s: on this single-core box a cold jit
+    # compile under load has pushed the old 300 s cap past timeout
     env = dict(os.environ, REPO=os.path.dirname(os.path.dirname(__file__)),
-               GFPP_STALL_TIMEOUT_S="2", JAX_PLATFORMS="cpu")
+               GFPP_STALL_TIMEOUT_S="2", JAX_PLATFORMS="cpu",
+               JAX_COMPILATION_CACHE_DIR="/tmp/jax_test_cache",
+               JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS="0.5")
+    # hermetic interpreter: with PALLAS_AXON_POOL_IPS set, this container's
+    # sitecustomize claims the remote TPU at python STARTUP (axon.register),
+    # which blocks forever when the tunnel relay is down — JAX_PLATFORMS=cpu
+    # does not prevent the claim. The parent pytest process is immune only
+    # because conftest flips platforms after the claim already happened.
+    env.pop("PALLAS_AXON_POOL_IPS", None)
     proc = subprocess.run(
         [sys.executable, "-c", _STALL_SCRIPT, str(tmp_path / "work")],
-        env=env, capture_output=True, text=True, timeout=300)
+        env=env, capture_output=True, text=True, timeout=600)
     assert proc.returncode == 43, (proc.returncode, proc.stdout, proc.stderr)
     assert "STALL" in proc.stdout
 
