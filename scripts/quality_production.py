@@ -589,9 +589,17 @@ def stage_parity(args):
         results[variant] = res
         print(f"| parity {variant}: {json.dumps(res)}")
     out = os.path.join(WORKROOT, "parity128_results.json")
+    # merge with prior runs: the legs run separately (the tiledgrid leg is
+    # ~70x slower), so a single-variant invocation must not drop the other
+    # variant's stored result
+    merged = {}
+    if os.path.exists(out):
+        with open(out) as f:
+            merged = json.load(f)
+    merged.update(results)
     with open(out, "w") as f:
-        json.dump(results, f, indent=2)
-    print(json.dumps(results))
+        json.dump(merged, f, indent=2)
+    print(json.dumps(merged))
 
 
 def stage_eval_torso(args):
