@@ -36,7 +36,12 @@ def _setup():
     from genefaceplusplus_tpu.models.radnerf import RADNeRF, RADNeRFConfig
     from genefaceplusplus_tpu.utils.rays import get_rays
 
-    cfg = RADNeRFConfig()  # production May-shaped config
+    # BENCH_FIELD_BF16=1: bf16 field-activation A/B (docs/DESIGN.md roofline
+    # entry — the frame is bandwidth-bound, so halved activation bytes may
+    # pay where whole-pipeline bf16 was neutral pre-crop)
+    cfg = RADNeRFConfig(
+        field_act_dtype="bfloat16" if os.environ.get("BENCH_FIELD_BF16") == "1"
+        else "float32")  # production May-shaped config
     head = RADNeRF(cfg)
     key = jax.random.PRNGKey(0)
     cond = jax.random.normal(key, (cfg.smo_win_size, cfg.cond_win_size, cfg.cond_in_dim))

@@ -11,7 +11,7 @@ flax.linen, feature-last layout ([B, T, C] convs over T).
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Optional, Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -83,17 +83,23 @@ class AudioAttNet(nn.Module):
 
 
 class MLP(nn.Module):
-    """Bias-free Linear+ReLU stack (cond_encoder.py:183-202)."""
+    """Bias-free Linear+ReLU stack (cond_encoder.py:183-202).
+
+    `dtype` is the flax computation dtype: bfloat16 halves the HBM traffic
+    of the inter-layer activations (params stay f32 in the pytree) — the
+    TPU analogue of the reference's fp16 AMP inference
+    (genefacepp_infer.py:458,474). None (default) = f32 compute."""
 
     dim_out: int
     dim_hidden: int
     num_layers: int
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         for layer in range(self.num_layers):
             out = self.dim_out if layer == self.num_layers - 1 else self.dim_hidden
-            x = nn.Dense(out, use_bias=False)(x)
+            x = nn.Dense(out, use_bias=False, dtype=self.dtype)(x)
             if layer != self.num_layers - 1:
                 x = nn.relu(x)
         return x

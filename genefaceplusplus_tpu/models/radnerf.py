@@ -69,6 +69,13 @@ class RADNeRFConfig:
     # per-frame individual codes
     individual_embedding_num: int = 13000
     individual_embedding_dim: int = 4
+    # field activation compute dtype: 'float32' (default, bit-stable) or
+    # 'bfloat16' — halves inter-matmul HBM traffic in the field MLPs (the
+    # frame is bandwidth-bound: docs/DESIGN.md roofline entry), mirroring
+    # the reference's fp16 AMP inference (genefacepp_infer.py:458,474).
+    # Encoders, trunc_exp/tanh/sigmoid nonlinearities and all returned
+    # tensors stay f32; params stay f32 in the pytree.
+    field_act_dtype: str = "float32"
 
     @property
     def cond_in_dim(self) -> int:
@@ -113,6 +120,7 @@ class RADNeRFConfig:
             hidden_dim_color=get("hidden_dim_color", 128),
             individual_embedding_num=get("individual_embedding_num", 13000),
             individual_embedding_dim=get("individual_embedding_dim", 4),
+            field_act_dtype=get("field_act_dtype", "float32"),
         )
 
     def position_grid_spec(self) -> GridSpec:
@@ -170,9 +178,12 @@ class RADNeRF(nn.Module):
         else:
             self.position_embedder = GridEncoder(c.position_grid_spec())
             self.ambient_embedder = GridEncoder(c.ambient_grid_spec())
-        self.ambient_net = MLP(c.ambient_coord_dim, c.hidden_dim_ambient, c.num_layers_ambient)
-        self.sigma_net = MLP(1 + c.geo_feat_dim, c.hidden_dim_sigma, c.num_layers_sigma)
-        self.color_net = MLP(3, c.hidden_dim_color, c.num_layers_color)
+        dt = jnp.bfloat16 if c.field_act_dtype == "bfloat16" else None
+        self.ambient_net = MLP(c.ambient_coord_dim, c.hidden_dim_ambient,
+                               c.num_layers_ambient, dtype=dt)
+        self.sigma_net = MLP(1 + c.geo_feat_dim, c.hidden_dim_sigma,
+                             c.num_layers_sigma, dtype=dt)
+        self.color_net = MLP(3, c.hidden_dim_color, c.num_layers_color, dtype=dt)
         if c.individual_embedding_dim > 0:
             self.individual_embeddings = self.param(
                 "individual_embeddings",
@@ -215,16 +226,20 @@ class RADNeRF(nn.Module):
         color MLP on only the K highest-weight samples per ray."""
         c = self.cfg
         N = position.shape[0]
-        pos_feat = self.position_embedder(position, bound=c.bound)
-        cond_tiled = jnp.broadcast_to(cond_feat, (N, cond_feat.shape[-1]))
+        # encoders compute in f32 (sin/cos of large-frequency projections
+        # need the mantissa); their BOUNDED outputs cast to the activation
+        # dtype so the concats and MLP matmul chain move half the bytes
+        dt = jnp.bfloat16 if c.field_act_dtype == "bfloat16" else jnp.float32
+        pos_feat = self.position_embedder(position, bound=c.bound).astype(dt)
+        cond_tiled = jnp.broadcast_to(cond_feat.astype(dt), (N, cond_feat.shape[-1]))
 
         ambient_inp = jnp.concatenate([pos_feat, cond_tiled], axis=-1)
         ambient_logit = self.ambient_net(ambient_inp).astype(jnp.float32)
         ambient_pos = fast_tanh(ambient_logit)  # fast rational tanh (ops/fastmath.py)
-        ambient_feat = self.ambient_embedder(ambient_pos, bound=1.0)
+        ambient_feat = self.ambient_embedder(ambient_pos, bound=1.0).astype(dt)
 
         h = jnp.concatenate([pos_feat, ambient_feat], axis=-1)
-        h = self.sigma_net(h)
+        h = self.sigma_net(h).astype(jnp.float32)
         sigma = trunc_exp(h[..., 0])
         geo_feat = h[..., 1:]
         return sigma, geo_feat, ambient_pos
@@ -242,7 +257,7 @@ class RADNeRF(nn.Module):
         if ind_code is not None:
             parts.append(jnp.broadcast_to(ind_code.reshape(1, -1), (N, ind_code.size)))
         color_logit = self.color_net(jnp.concatenate(parts, axis=-1))
-        return nn.sigmoid(color_logit)
+        return nn.sigmoid(color_logit.astype(jnp.float32))
 
     def field(
         self,
@@ -264,8 +279,9 @@ class RADNeRF(nn.Module):
         ambient_inp = jnp.concatenate([pos_feat, cond_tiled], axis=-1)
         ambient_pos = fast_tanh(self.ambient_net(ambient_inp).astype(jnp.float32))
         ambient_feat = self.ambient_embedder(ambient_pos, bound=1.0)
-        h = self.sigma_net(jnp.concatenate([pos_feat, ambient_feat], axis=-1))
-        return trunc_exp(h[..., 0])
+        h = self.sigma_net(jnp.concatenate(
+            [pos_feat.astype(ambient_feat.dtype), ambient_feat], axis=-1))
+        return trunc_exp(h[..., 0].astype(jnp.float32))
 
     def get_individual_code(self, index) -> Optional[jnp.ndarray]:
         if self.cfg.individual_embedding_dim <= 0:

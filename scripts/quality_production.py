@@ -72,8 +72,12 @@ def _val_bg(ds, i):
 def _model_cfg(variant: str, n_frames: int):
     from genefaceplusplus_tpu.models.radnerf import RADNeRFConfig
 
+    # GFPP_FIELD_ACT_DTYPE=bfloat16: evaluate/train with bf16 field
+    # activations (the reference's fp16-AMP analogue; A/B knob)
     return RADNeRFConfig(grid_type=variant, individual_embedding_num=n_frames,
-                         add_eye_blink_cond=True)
+                         add_eye_blink_cond=True,
+                         field_act_dtype=os.environ.get(
+                             "GFPP_FIELD_ACT_DTYPE", "float32"))
 
 
 def _build_task(variant: str, steps: int, tr, va):
