@@ -57,3 +57,11 @@ def test_default_is_f32_and_bitstable():
     _, s2, c2, _ = _outputs("float32")
     np.testing.assert_array_equal(s1, s2)
     np.testing.assert_array_equal(c1, c2)
+
+
+def test_field_act_dtype_flows_from_hparams():
+    """yaml/hparams key -> RADNeRFConfig -> MLP compute dtype (the egs
+    surface: egs/egs_bases/radnerf/base.yaml field_act_dtype)."""
+    cfg = RADNeRFConfig.from_hparams({"field_act_dtype": "bfloat16"})
+    assert cfg.field_act_dtype == "bfloat16"
+    assert RADNeRFConfig.from_hparams({}).field_act_dtype == "float32"
