@@ -152,9 +152,25 @@ def serve(infer, host: str = "0.0.0.0", port: int = 7860):
 
     class Handler(BaseHTTPRequestHandler):
         def do_GET(self):
-            if (self.path.split("?")[0].rstrip("/") == "/ws"
+            route = self.path.split("?")[0].rstrip("/")
+            if (route == "/ws"
                     and "websocket" in self.headers.get("Upgrade", "").lower()):
                 self._handle_ws()
+                return
+            if route == "/metrics":
+                # serving observability: stream counts, pushed/dropped
+                # frames, inter-frame emit cadence + socket push latency
+                # histograms, realtime factor (docs/RUNBOOK.md)
+                import json as _json
+
+                from genefaceplusplus_tpu.inference.metrics import METRICS
+
+                body = _json.dumps(METRICS.snapshot(), indent=1).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
                 return
             self.send_response(200)
             self.send_header("Content-Type", "text/html")
@@ -196,17 +212,30 @@ def serve(infer, host: str = "0.0.0.0", port: int = 7860):
                     return
                 import cv2
 
-                from genefaceplusplus_tpu.inference.serving import stream_infer
+                from genefaceplusplus_tpu.inference.metrics import instrumented
+                from genefaceplusplus_tpu.inference.serving import (
+                    ClientGone, FramePusher, stream_infer)
 
                 inp = _json.loads(payload.decode())
                 wav = _load_stream_audio(inp)
                 if wav is None:
                     raise ValueError("inp needs 'drv_aud' or 'drv_aud_features'")
-                with lock:
-                    for frame in stream_infer(infer, wav, inp):
-                        ok, jpg = cv2.imencode(".jpg", cv2.cvtColor(frame, cv2.COLOR_RGB2BGR))
-                        if ok:
-                            ws_send(self.wfile, jpg.tobytes(), opcode=0x2)
+                # bounded-queue sender: a slow client drops frames (live
+                # semantics) instead of stalling the renderer + serve lock
+                pusher = FramePusher(
+                    lambda jpg: ws_send(self.wfile, jpg, opcode=0x2),
+                    maxsize=int(inp.get("push_queue_frames", 16)))
+                try:
+                    with lock:
+                        for frame in instrumented(stream_infer(infer, wav, inp)):
+                            ok, jpg = cv2.imencode(
+                                ".jpg", cv2.cvtColor(frame, cv2.COLOR_RGB2BGR))
+                            if ok:
+                                pusher.push(jpg.tobytes())
+                except ClientGone:
+                    return  # client went away mid-stream; nothing to tell it
+                finally:
+                    pusher.close()
             except Exception as e:  # tell the client before closing
                 try:
                     ws_send(self.wfile, f"error: {e}".encode(), opcode=0x1)
@@ -244,22 +273,34 @@ def serve(infer, host: str = "0.0.0.0", port: int = 7860):
                 # starts after the first audio chunk, not the whole clip
                 import cv2
 
-                from genefaceplusplus_tpu.inference.serving import stream_infer
+                from genefaceplusplus_tpu.inference.metrics import instrumented
+                from genefaceplusplus_tpu.inference.serving import (
+                    ClientGone, FramePusher, stream_infer)
 
                 wav = _load_stream_audio(inp)
                 self.send_response(200)
                 self.send_header("Content-Type",
                                  "multipart/x-mixed-replace; boundary=frame")
                 self.end_headers()
-                with lock:
-                    for frame in stream_infer(infer, wav, inp):
-                        ok, jpg = cv2.imencode(
-                            ".jpg", cv2.cvtColor(frame, cv2.COLOR_RGB2BGR))
-                        if not ok:
-                            continue
-                        self.wfile.write(b"--frame\r\nContent-Type: image/jpeg\r\n\r\n")
-                        self.wfile.write(jpg.tobytes())
-                        self.wfile.write(b"\r\n")
+
+                def send_part(jpg: bytes) -> None:
+                    self.wfile.write(b"--frame\r\nContent-Type: image/jpeg\r\n\r\n")
+                    self.wfile.write(jpg)
+                    self.wfile.write(b"\r\n")
+
+                pusher = FramePusher(
+                    send_part, maxsize=int(inp.get("push_queue_frames", 16)))
+                try:
+                    with lock:
+                        for frame in instrumented(stream_infer(infer, wav, inp)):
+                            ok, jpg = cv2.imencode(
+                                ".jpg", cv2.cvtColor(frame, cv2.COLOR_RGB2BGR))
+                            if ok:
+                                pusher.push(jpg.tobytes())
+                except ClientGone:
+                    pass  # browser closed the MJPEG tab mid-stream
+                finally:
+                    pusher.close()
                 return
 
             with lock:

@@ -74,6 +74,14 @@ def stream_infer(
     Yields uint8 RGB frames as soon as each audio chunk's motion+render is
     done. Chunks overlap by one smoothing window to avoid boundary pops in
     the landmark sequence.
+
+    Reconnect protocol: a client that lost its connection after receiving
+    k frames re-requests with ``inp['resume_from_frame'] = k`` (plus any
+    previous resume offset); the stream restarts at the exact audio/pose
+    cursor of frame k — the pose schedule (`mirror_index`) and the audio
+    position are both functions of the absolute frame index, so resumed
+    frames match what an uninterrupted stream would have produced at a
+    chunk boundary.
     """
     from genefaceplusplus_tpu.data import audio as audio_lib
     from genefaceplusplus_tpu.inference.pipeline import default_inp
@@ -84,8 +92,8 @@ def stream_infer(
     chunk_samples = hop_frames * 2 * audio_lib.HOP_SIZE  # 50 Hz features
 
     total = len(wav16k)
-    pos = 0
-    frame_offset = 0
+    frame_offset = int(inp.get("resume_from_frame", 0) or 0)
+    pos = frame_offset * 2 * audio_lib.HOP_SIZE  # samples already streamed
     # one-chunk pipeline: the device renders chunk k (async dispatch) while
     # the host runs feature extraction + audio2motion for chunk k+1; frames
     # of chunk k are fetched (sync) only after k+1's render is dispatched.
@@ -213,3 +221,91 @@ def _dispatch_render(infer, batch, inp, mesh: Optional[Mesh] = None):
 def _render_frames(infer, batch, inp) -> Iterator[np.ndarray]:
     """Render + yield a chunk's frames (sync); kept for non-pipelined use."""
     yield from _drain(_dispatch_render(infer, batch, inp))
+
+
+class ClientGone(OSError):
+    """The push socket died mid-stream: abort rendering early."""
+
+
+class FramePusher:
+    """Bounded-queue sender between the render loop and a (possibly slow)
+    client socket.
+
+    Without this, a slow client applies TCP backpressure straight into the
+    render loop: `wfile.write` blocks, the renderer (holding the serve
+    lock) stalls, and every other client starves behind one bad downlink.
+    With it:
+      * the render loop enqueues frames and never blocks on the network;
+      * a dedicated sender thread writes to the socket at the client's pace;
+      * when the queue is full the OLDEST frame is dropped (live-stream
+        semantics: staying realtime beats completeness) and counted in
+        the serving metrics;
+      * if the socket dies, the next `push()` raises ClientGone so the
+        render loop aborts instead of burning TPU time on a dead client.
+
+    The reference has no analogue (its app returns a finished mp4,
+    inference/app_genefacepp.py); this is hardening for the TPU streaming
+    path that the reference never ships.
+    """
+
+    def __init__(self, send_fn, maxsize: int = 16, metrics=None):
+        import queue
+        import threading
+
+        if metrics is None:
+            from genefaceplusplus_tpu.inference.metrics import METRICS
+            metrics = METRICS
+        self._send = send_fn
+        self._metrics = metrics
+        self._q = queue.Queue(maxsize=max(1, int(maxsize)))
+        self._dead: Optional[BaseException] = None
+        self.dropped = 0
+        self.sent = 0
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def _run(self):
+        import time as _time
+
+        while True:
+            item = self._q.get()
+            if item is None:
+                return
+            try:
+                t0 = _time.perf_counter()
+                self._send(item)
+                self._metrics.frame_pushed((_time.perf_counter() - t0) * 1e3)
+                self.sent += 1
+            except BaseException as e:  # socket gone / encoder error
+                self._dead = e
+                # drain so producers never block on a dead sender
+                while True:
+                    leftover = self._q.get()
+                    if leftover is None:
+                        return
+                    self._metrics.frame_dropped()
+
+    def push(self, payload) -> None:
+        """Enqueue one frame. Never blocks: on a full queue the oldest
+        queued frame is discarded first. Raises ClientGone if the sender
+        already died."""
+        import queue
+
+        if self._dead is not None:
+            raise ClientGone(str(self._dead))
+        while True:
+            try:
+                self._q.put_nowait(payload)
+                return
+            except queue.Full:
+                try:
+                    self._q.get_nowait()
+                    self.dropped += 1
+                    self._metrics.frame_dropped()
+                except queue.Empty:
+                    pass  # sender drained it between our calls; retry put
+
+    def close(self, timeout: float = 30.0) -> None:
+        """Flush the queue and stop the sender thread."""
+        self._q.put(None)
+        self._thread.join(timeout=timeout)
