@@ -291,7 +291,57 @@ def bench_train(n_steps: int = 20, multi: int = 5):
     return 1.0 / best, "head_train_steps_per_sec", mfu
 
 
+def _probe_device(timeout_s: int = 150) -> None:
+    """Fail fast (loudly) when the TPU tunnel is dead instead of hanging.
+
+    A dead axon relay makes the first jax call block indefinitely — a hung
+    bench gives the driver no traceback at all. Probe device enumeration in
+    a bounded subprocess (the proven tunnel-watch pattern, docs/RUNBOOK.md
+    §2c) BEFORE this process initializes jax; skip with BENCH_PROBE=0."""
+    import subprocess
+    import sys
+
+    if os.environ.get("BENCH_PROBE", "1") == "0":
+        return
+    try:
+        proc = subprocess.run([sys.executable, "-c", "import jax; jax.devices()"],
+                              timeout=timeout_s, capture_output=True)
+    except subprocess.TimeoutExpired:
+        raise SystemExit(
+            f"bench: device enumeration hung for {timeout_s}s — the TPU "
+            "tunnel looks dead (see docs/RUNBOOK.md §2c); failing fast "
+            "rather than hanging the driver")
+    if proc.returncode != 0:
+        tail = proc.stderr.decode(errors="replace")[-2000:]
+        raise SystemExit(f"bench: device enumeration failed:\n{tail}")
+
+
+def _start_watchdog() -> None:
+    """Hard-exit if the bench wedges mid-run (a dead tunnel mid-RPC is not
+    interruptible from Python). Generous default: a cold-cache full bench
+    remote-compiles for minutes. BENCH_WATCHDOG_S=0 disables."""
+    import threading
+
+    budget = float(os.environ.get("BENCH_WATCHDOG_S", "2400"))
+    if budget <= 0:
+        return
+
+    def _fire():
+        import sys
+
+        print(f"bench: wedged for {budget:.0f}s (BENCH_WATCHDOG_S) — device "
+              "RPC likely hung; exiting 43 for the outer retry loop",
+              file=sys.stderr, flush=True)
+        os._exit(43)
+
+    t = threading.Timer(budget, _fire)
+    t.daemon = True
+    t.start()
+
+
 def main():
+    _probe_device()
+    _start_watchdog()
     # persistent compile cache: the axon tunnel remote-compiles each new
     # graph (minutes for the full-pipeline scan); a warm cache cuts the
     # wall time to the actual measurement
