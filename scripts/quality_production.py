@@ -371,8 +371,11 @@ def stage_lmd(args):
     print(f"| detector ({arch}) at {path}; held-out GT floor {floor:.2f}px @512")
 
 
-def detect_lmd(frames_u8, gt_lms, arch: str = "v1") -> float:
-    """Mean landmark distance (px at 512) of detector(render) vs GT lms."""
+def detect_lmd(frames_u8, gt_lms, arch: str = "v1", per_landmark: bool = False):
+    """Mean landmark distance (px at 512) of detector(render) vs GT lms.
+
+    With per_landmark=True returns the [N, 68] error matrix instead of the
+    scalar mean — for region breakdowns (jawline vs inner face vs mouth)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -384,11 +387,17 @@ def detect_lmd(frames_u8, gt_lms, arch: str = "v1") -> float:
     X = jnp.asarray(np.stack([_to_det_input(f_) for f_ in frames_u8]))
     pred = np.asarray(jax.jit(det.apply)(params, X)).reshape(-1, 68, 2)
     gt = np.asarray(gt_lms).reshape(-1, 68, 2)
-    return float(np.mean(np.linalg.norm((pred - gt) * 512.0, axis=-1)))
+    err = np.linalg.norm((pred - gt) * 512.0, axis=-1)  # [N, 68]
+    return err if per_landmark else float(np.mean(err))
 
 
 def _lmd_report(res: dict, renders, gts, lms):
-    """Fill LMD keys for every trained instrument (v1, and v2 when present)."""
+    """Fill LMD keys for every trained instrument (v1, and v2 when present).
+
+    The v2 instrument also reports region breakdowns on the ibug-68 layout:
+    jawline 0-16 (lands on torso/background for head-only renders — an
+    instrument-context region), inner face 17-67, and mouth 48-67 (the
+    lip-sync region the reference's LMD claim is about)."""
     import numpy as np
 
     stack = np.stack(lms)
@@ -396,8 +405,13 @@ def _lmd_report(res: dict, renders, gts, lms):
         res["val_lmd_px_512"] = round(detect_lmd(renders, stack), 2)
         res["lmd_floor_px_512"] = round(detect_lmd(gts, stack), 2)
     if os.path.exists(DETECTOR2):
-        res["val_lmd_px_512_v2"] = round(detect_lmd(renders, stack, arch="v2"), 2)
-        res["lmd_floor_px_512_v2"] = round(detect_lmd(gts, stack, arch="v2"), 2)
+        err = detect_lmd(renders, stack, arch="v2", per_landmark=True)
+        floor = detect_lmd(gts, stack, arch="v2", per_landmark=True)
+        res["val_lmd_px_512_v2"] = round(float(err.mean()), 2)
+        res["lmd_floor_px_512_v2"] = round(float(floor.mean()), 2)
+        for name, sl in (("inner", slice(17, 68)), ("mouth", slice(48, 68))):
+            res[f"val_lmd_{name}_px_512_v2"] = round(float(err[:, sl].mean()), 2)
+            res[f"lmd_floor_{name}_px_512_v2"] = round(float(floor[:, sl].mean()), 2)
     return res
 
 
