@@ -135,3 +135,15 @@ class Face3DHelper:
         """NeRF-convention 2D landmarks: both axes flipped (:120-124)."""
         lm2d = self.reconstruct_lm2d(id_coeff, exp_coeff, euler, trans, to_camera=False)
         return 1.0 - lm2d
+
+    def project_lm3d_nerf(self, lm3d, euler, trans):
+        """NeRF-convention projection of GIVEN canonical landmarks [T,K,3]
+        — the motion_type=idexp_lm3d direct-drive path, where the driving
+        landmarks exist without id/exp coefficients. Same pose + projection
+        math as reconstruct_lm2d_nerf minus the basis reconstruction."""
+        rot = compute_bfm_rotation(euler)
+        posed = lm3d @ rot + trans[:, None, :]
+        proj = posed @ self.persc_proj
+        lm2d = proj[..., :2] / proj[..., 2:]
+        lm2d = lm2d.at[..., 1].set(224.0 - lm2d[..., 1]) / 224.0
+        return 1.0 - lm2d

@@ -109,7 +109,12 @@ class GeneFaceInfer:
         # ---- audio2motion ----
         self.a2m_cfg = set_hparams(work_dir=audio2secc_dir) if audio2secc_dir else Config({})
         audio_in_dim = self.a2m_cfg.get("audio_in_dim", 1024)
-        in_out_dim = 80 + 64 if self.a2m_cfg.get("motion_type", "exp") == "id_exp" else 64
+        # motion_type: "exp" (64-d 3DMM coeffs, the reference default),
+        # "id_exp" (80+64), or "idexp_lm3d" (204-d landmark space — direct
+        # drive for identities without a BFM-consistent exp basis; pairs
+        # with A2MTaskConfig.target="idexp_lm3d")
+        in_out_dim = {"id_exp": 144, "idexp_lm3d": 204}.get(
+            self.a2m_cfg.get("motion_type", "exp"), 64)
         size_kw = dict(
             hidden_channels=self.a2m_cfg.get("a2m_hidden_channels", 256),
             enc_n_layers=self.a2m_cfg.get("a2m_enc_layers", 8),
@@ -240,6 +245,7 @@ class GeneFaceInfer:
         if self.face3d_helper is not None:
             self._jit_idexp_lm3d = jax.jit(self.face3d_helper.reconstruct_idexp_lm3d)
             self._jit_lm2d_nerf = jax.jit(self.face3d_helper.reconstruct_lm2d_nerf)
+            self._jit_project_lm2d = jax.jit(self.face3d_helper.project_lm3d_nerf)
         self._jit_lle = jax.jit(compute_lle_projection, static_argnames=("K",))
         self._jit_rays = jax.jit(pixel_rays, static_argnums=(1, 2, 3))
         self._jit_cond_windows = jax.jit(get_audio_features_batch, static_argnums=(2,))
@@ -472,19 +478,31 @@ class GeneFaceInfer:
                 lambda params, b, rng: model.apply(
                     params, b, train=False, temperature=temp, rng=rng))
         pred, _ = self._a2m_jit[temp](self.a2m_params, a2m_batch, sub)
-        pred = np.asarray(pred[0])  # [T, 64] exp (or 144 id+exp)
-        if pred.shape[-1] == 144:
-            id_coeff, exp = pred[:, :80], pred[:, 80:]
+        pred = np.asarray(pred[0])  # [T, 64] exp, 144 id+exp, or 204 idexp_lm3d
+        if pred.shape[-1] == 204:
+            # direct landmark-space motion (motion_type=idexp_lm3d): pred IS
+            # idexp_lm3d in the binarizer's x10 convention — same space as
+            # ds["idexp_lm3d"], so the stats/clamps below apply unchanged and
+            # the 3DMM reconstruction is skipped. No id/exp coefficients
+            # exist on this path: the SECC debug panel degenerates to the
+            # identity's mean face, and the torso's lm68 condition projects
+            # the driven landmarks directly (project_lm3d_nerf).
+            idexp = pred.reshape(T, 68, 3)
+            id_coeff = np.zeros((T, 80), np.float32)
+            exp = np.zeros((T, 64), np.float32)
         else:
-            ds_id = np.asarray(self.dataset.ds["id"], np.float32)
-            id_coeff = np.tile(ds_id.mean(0, keepdims=True), (T, 1))
-            exp = pred
+            if pred.shape[-1] == 144:
+                id_coeff, exp = pred[:, :80], pred[:, 80:]
+            else:
+                ds_id = np.asarray(self.dataset.ds["id"], np.float32)
+                id_coeff = np.tile(ds_id.mean(0, keepdims=True), (T, 1))
+                exp = pred
 
-        # landmark reconstruction on the mediapipe basis, subset to lm68
-        idexp = np.asarray(self._jit_idexp_lm3d(
-            jnp.asarray(id_coeff), jnp.asarray(exp)))
-        if idexp.shape[1] >= 468:
-            idexp = idexp[:, INDEX_LM68_FROM_LM478]
+            # landmark reconstruction on the mediapipe basis, subset to lm68
+            idexp = np.asarray(self._jit_idexp_lm3d(
+                jnp.asarray(id_coeff), jnp.asarray(exp)))
+            if idexp.shape[1] >= 468:
+                idexp = idexp[:, INDEX_LM68_FROM_LM478]
 
         # dataset statistics + quantile clamps (genefacepp_infer.py:334-344)
         ds_lm = np.asarray(self.dataset.ds["idexp_lm3d"], np.float32).reshape(-1, 68, 3)
@@ -512,7 +530,10 @@ class GeneFaceInfer:
         # LLE blend onto the training manifold (:371-397)
         lle_percent = float(inp.get("lle_percent", 0.2))
         if lle_percent > 0:
-            fuse, _, _ = self._jit_lle(jnp.asarray(flat), jnp.asarray(ds_lm.reshape(-1, 68 * 3)), K=10)
+            # K capped by the identity's frame count (tiny datasets)
+            fuse, _, _ = self._jit_lle(
+                jnp.asarray(flat), jnp.asarray(ds_lm.reshape(-1, 68 * 3)),
+                K=min(10, ds_lm.shape[0]))
             flat = lle_percent * np.asarray(fuse) + (1 - lle_percent) * flat
         idexp = flat.reshape(T, 68, 3)
         normalized = np.clip((idexp - mean) / std, lower, upper)
@@ -543,9 +564,17 @@ class GeneFaceInfer:
         # smoothed head pose -> lm68 2D for the torso condition (:425-429)
         smo_euler = smooth_features_xd(batch["eulers"])
         smo_trans = smooth_features_xd(batch["transs"])
-        lm2d = self._jit_lm2d_nerf(
-            jnp.asarray(id_coeff), jnp.asarray(exp), jnp.asarray(smo_euler), jnp.asarray(smo_trans)
-        )
+        if pred.shape[-1] == 204:
+            # direct-drive path: project the final driven landmarks (the
+            # same cano set the head is conditioned on) — there are no
+            # id/exp coefficients to reconstruct from
+            cano_final = (mean + std * normalized) / 10.0 + key_mean[None]
+            lm2d = self._jit_project_lm2d(
+                jnp.asarray(cano_final), jnp.asarray(smo_euler), jnp.asarray(smo_trans))
+        else:
+            lm2d = self._jit_lm2d_nerf(
+                jnp.asarray(id_coeff), jnp.asarray(exp), jnp.asarray(smo_euler), jnp.asarray(smo_trans)
+            )
         lm2d = np.asarray(lm2d)
         if lm2d.shape[1] >= 468:
             lm2d = lm2d[:, INDEX_LM68_FROM_LM478]

@@ -191,6 +191,197 @@ def stage_train_torso(args):
     print(f"| torso({args.variant}) {args.steps} steps in {(time.time() - t0) / 60:.1f} min")
 
 
+A2M_AUDIO = os.path.join(DATA_DIR, "a2m_audio.npz")
+
+
+def _synth_audio_track(seed: int = 123):
+    """Derive a learnable synthetic "speech" track from the identity's
+    stored mouth motion.
+
+    The cached dataset's hubert is pure noise (fine for the renderer, whose
+    conditioning is landmarks), so audio2motion training on it would be
+    ill-posed. Real speech features encode articulation (jaw/lip state and
+    its dynamics) but not brows, blinks, or pose — this construction
+    mirrors that: a fixed random projection of [jaw, width, d/dt jaw] plus
+    smooth nuisance latents (timbre-like variability the model must learn
+    to ignore) through a tanh, with additive noise. f0 carries a weak
+    prosody correlation with jaw. Cached to A2M_AUDIO so train / eval /
+    inference all consume the identical track."""
+    import numpy as np
+
+    if os.path.exists(A2M_AUDIO):
+        z = np.load(A2M_AUDIO)
+        return z["hubert"], z["f0"]
+    ds = np.load(DATA, allow_pickle=True).tolist()
+    exp = np.asarray(ds["exp"], np.float32)  # dims 0..2 = jaw, width, brow
+    T = len(exp)
+    rng = np.random.RandomState(seed)
+    t50 = np.linspace(0, T - 1, 2 * T)
+    jaw = np.interp(t50, np.arange(T), exp[:, 0])
+    width = np.interp(t50, np.arange(T), exp[:, 1])
+    djaw = np.gradient(jaw)
+    # mode="same" returns max(len(x), len(k)) — cap the kernel at the
+    # (possibly tiny smoke-dataset) track length, kept odd
+    klen = min(25, 2 * T - ((2 * T + 1) % 2))
+    k = np.hanning(klen).astype(np.float32)
+    k /= k.sum()
+    nuis = np.stack([np.convolve(rng.randn(2 * T), k, mode="same")
+                     for _ in range(5)], -1).astype(np.float32) * 3.0
+    z = np.concatenate([np.stack([jaw, width, djaw], -1), nuis], -1)  # [2T, 8]
+    proj = rng.randn(8, 1024).astype(np.float32) / np.sqrt(8)
+    hubert = (np.tanh(z @ proj) + 0.05 * rng.randn(2 * T, 1024)).astype(np.float32)
+    f0 = np.maximum(100 + 60 * jaw + 5 * rng.randn(2 * T), 10).astype(np.float32)
+    np.savez(A2M_AUDIO, hubert=hubert, f0=f0)
+    return hubert, f0
+
+
+def _a2m_cfg() -> dict:
+    """Self-describing a2m checkpoint config: the keys GeneFaceInfer reads
+    to rebuild the model (inference/pipeline.py a2m construction) plus the
+    task keys training/run.py would use."""
+    return {
+        "task_cls": "a2m", "use_pitch": True, "audio_in_dim": 1024,
+        "motion_type": "idexp_lm3d", "a2m_target": "idexp_lm3d",
+        "a2m_in_out_dim": 204,
+        "a2m_hidden_channels": 256, "a2m_enc_layers": 8, "a2m_dec_layers": 4,
+        "a2m_flow_hidden": 64, "a2m_flow_blocks": 4,
+        "seq_len": 64, "batch_size": 8,
+        "binary_data_dir": DATA_DIR, "video_id": "synth512",
+    }
+
+
+def stage_train_a2m(args):
+    """Audio2motion at production scale on the synthetic identity: flow-VAE
+    from the synthesized speech-like track to 204-d landmark motion
+    (target=idexp_lm3d — the direct-drive space for identities without a
+    BFM-consistent exp basis). The reference never released this stage's
+    training (README.md:70); this completes the capability at scale."""
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import numpy as np
+
+    from genefaceplusplus_tpu.config import Config
+    from genefaceplusplus_tpu.training.tasks.a2m_task import A2MTask, A2MTaskConfig
+    from genefaceplusplus_tpu.training.trainer import Trainer
+
+    tr, _ = _load_datasets()
+    hubert, f0 = _synth_audio_track()
+    # seq_len must leave room for train windows + the 1/11 hold-out on
+    # small smoke datasets; production (450 frames) gets the full 64
+    T_total = len(hubert) // 2
+    seq_len = min(64, max(8, T_total // 3 // 8 * 8))
+    task = A2MTask(tr, A2MTaskConfig(
+        target="idexp_lm3d", in_out_dim=204, audio_in_dim=1024,
+        seq_len=seq_len,
+        kl_anneal_steps=min(20_000, max(1, args.steps // 2))))
+    # swap in the learnable track (the dataset's stored hubert is noise)
+    assert len(hubert) == len(task.hubert), (len(hubert), len(task.hubert))
+    task.hubert = np.asarray(hubert, np.float32)
+    task.f0 = np.asarray(f0, np.float32)
+    trainer = Trainer(
+        task, workdir("a2m"), config=Config(_a2m_cfg()),
+        max_updates=args.steps,
+        val_check_interval=args.val_interval,
+        tb_log_interval=100,
+        num_ckpt_keep=2,
+        milestone_interval=10_000,
+    )
+    t0 = time.time()
+    trainer.fit(resume=not args.reset)
+    print(f"| a2m {args.steps} steps in {(time.time() - t0) / 60:.1f} min")
+
+
+def stage_eval_a2m(args):
+    """End-to-end AUDIO-DRIVEN evaluation: held-out audio -> a2m ->
+    production pipeline (quantile clamps, LLE, blink injection, region
+    freeze) -> head+torso+SR frames at 512², graded against the GT video
+    of the same held-out segment. Mouth-region LMD is the headline (audio
+    determines the mouth; brows/blinks are prior-driven by design).
+    Writes a GT | audio-driven side-by-side clip artifact."""
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import numpy as np
+
+    from genefaceplusplus_tpu.inference.pipeline import GeneFaceInfer, default_inp
+    from genefaceplusplus_tpu.inference.serving import _dispatch_render, _drain
+
+    tr, va = _load_datasets()
+    hubert, f0 = _synth_audio_track()
+    torso_dir = workdir(args.variant) + "_torso"
+    if not os.path.exists(os.path.join(torso_dir, "config.yaml")):
+        print(f"| no torso stage at {torso_dir} — head-only eval")
+        torso_dir = None
+    infer = GeneFaceInfer(
+        audio2secc_dir=workdir("a2m"),
+        head_model_dir=workdir(args.variant),
+        torso_model_dir=torso_dir,
+        dataset=tr,
+    )
+    # held-out segment: the renderer's val frames (last 1/11) — a strict
+    # subset of the a2m task's own temporal hold-out (max(seq_len, T/11)),
+    # so NEITHER model trained on these frames or their audio
+    ds_np = tr.ds
+    T_total = len(hubert) // 2
+    a2m_holdout_start = T_total - max(64, T_total // 11)
+    val_ids = sorted(int(v) for v in va.frame_ids)
+    s = max(val_ids[0], a2m_holdout_start)
+    L = (val_ids[-1] + 1 - s) // 8 * 8
+    if getattr(args, "frames", 0):
+        L = min(L, max(8, int(args.frames) // 8 * 8))
+    if L < 8:
+        # smoke-scale datasets: the strict a2m-holdout ∩ renderer-val
+        # overlap is empty — grade the last 8 frames anyway, loudly. The
+        # strictness only holds at production scale (450-frame identity:
+        # s=val start, L≥40).
+        print("| WARNING smoke-scale dataset: grading frames that overlap "
+              "a training window (held-out strictness waived)")
+        s, L = max(0, T_total - 8), 8
+    # resolve each global frame id to (split dataset, local index) — the
+    # graded window may span the train/val boundary on smoke datasets
+    id2src = {}
+    for dsx in (tr, va):
+        for k, fid in enumerate(dsx.frame_ids):
+            id2src[int(fid)] = (dsx, k)
+    srcs = [id2src[s + i] for i in range(L)]
+    batch = {
+        "hubert": hubert[2 * s : 2 * (s + L)],
+        "f0": f0[2 * s : 2 * (s + L)],
+        "T": L,
+        # drive with the GT poses of the same held-out frames (pose is an
+        # input, not a prediction, in this pipeline — frame-aligned grading)
+        "poses": np.stack([dsx.frame_pose(k) for dsx, k in srcs]),
+        "eulers": np.asarray(ds_np["euler"])[s : s + L],
+        "transs": np.asarray(ds_np["trans"])[s : s + L],
+    }
+    inp = default_inp(blink_mode="period", temperature=0.0, lle_percent=0.2,
+                      mouth_amp=0.4)
+    batch = infer.forward_audio2secc(batch, inp)
+    frames = list(_drain(_dispatch_render(infer, batch, inp)))[:L]
+
+    gts = [(dsx.load_image(k, "gt", full_res=True) * 255).astype(np.uint8)
+           for dsx, k in srcs]
+    lms = [dsx.samples[k]["lms"] for dsx, k in srcs]
+    res = {"variant": args.variant, "frames": L,
+           "held_out_start": s, "temperature": 0.0}
+    res = _lmd_report(res, frames, gts, lms)
+    if args.clip:
+        from genefaceplusplus_tpu.data.video import StreamingVideoWriter
+
+        os.makedirs(os.path.dirname(args.clip), exist_ok=True)
+        wtr = StreamingVideoWriter(args.clip, fps=25)
+        for g, r in zip(gts, frames):
+            wtr.append(np.concatenate([g, r], axis=1).astype(np.float32) / 255.0)
+        wtr.close()
+        res["clip"] = args.clip
+    print(json.dumps(res))
+    with open(os.path.join(workdir("a2m"), "quality_eval.json"), "w") as f:
+        json.dump(res, f, indent=2)
+
+
 def stage_measure(args):
     """Per-variant step time at the production budget (sizes the runs)."""
     import jax
@@ -757,6 +948,14 @@ def main():
     tt.add_argument("--steps", type=int, default=25_000)
     tt.add_argument("--val_interval", type=int, default=2500)
     tt.add_argument("--reset", action="store_true")
+    ta = sub.add_parser("train-a2m")
+    ta.add_argument("--steps", type=int, default=30_000)
+    ta.add_argument("--val_interval", type=int, default=2500)
+    ta.add_argument("--reset", action="store_true")
+    ea = sub.add_parser("eval-a2m")
+    ea.add_argument("--variant", type=str, default="fourier")
+    ea.add_argument("--clip", type=str, default="")
+    ea.add_argument("--frames", type=int, default=0)
     l = sub.add_parser("lmd")
     l.add_argument("--iters", type=int, default=3000)
     l.add_argument("--arch", type=str, default="v1", choices=["v1", "v2"])
@@ -784,7 +983,8 @@ def main():
     pa.add_argument("--reset", action="store_true")
     args = p.parse_args()
     {"gen": stage_gen, "measure": stage_measure, "train": stage_train,
-     "train-torso": stage_train_torso, "lmd": stage_lmd,
+     "train-torso": stage_train_torso, "train-a2m": stage_train_a2m,
+     "eval-a2m": stage_eval_a2m, "lmd": stage_lmd,
      "lmd-remeasure": stage_lmd_remeasure, "eval": stage_eval,
      "eval-torso": stage_eval_torso, "parity": stage_parity}[args.stage](args)
 
