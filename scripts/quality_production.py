@@ -293,6 +293,71 @@ def stage_train_a2m(args):
     print(f"| a2m {args.steps} steps in {(time.time() - t0) / 60:.1f} min")
 
 
+def stage_train_postnet(args):
+    """Person-specific postnet at production scale: refine RAW a2m
+    predictions (sampled at the pipeline's default temperature) toward the
+    identity's GT landmarks, pitch-conditioned. The reference ships this
+    only as an inference-time module (genefacepp_infer.py:152-162); here
+    the training leg is completed against the actual trained a2m model so
+    the refiner learns the model's real error distribution, not synthetic
+    noise."""
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+    import numpy as np
+
+    from genefaceplusplus_tpu.config import Config
+    from genefaceplusplus_tpu.inference.pipeline import GeneFaceInfer
+    from genefaceplusplus_tpu.training.tasks.postnet_task import (
+        PostnetTask, PostnetTaskConfig,
+    )
+    from genefaceplusplus_tpu.training.trainer import Trainer
+
+    tr, _ = _load_datasets()
+    hubert, f0 = _synth_audio_track()
+    # the stored dataset hubert is noise — postnet must see the same
+    # learnable track the a2m model was trained on
+    tr.ds["hubert"] = np.asarray(hubert, np.float32)
+    tr.ds["f0"] = np.asarray(f0, np.float32)
+
+    infer = GeneFaceInfer(audio2secc_dir=workdir("a2m"), dataset=tr)
+    model, params = infer.a2m_model, infer.a2m_params
+    temp = 0.2  # pipeline default — train on the sampled-path distribution
+    app = jax.jit(lambda p, b, rng: model.apply(
+        p, b, train=False, temperature=temp, rng=rng))
+
+    def predict_fn(hub, f0seg, seed):
+        T = len(hub) // 2
+        b = {"audio": jnp.asarray(hub)[None], "f0": jnp.asarray(f0seg)[None],
+             "y_mask": jnp.ones((1, T)),
+             "mouth_amp": jnp.full((1, 1), 0.4)}
+        pred, _ = app(params, b, jax.random.PRNGKey(int(seed)))
+        return np.asarray(pred[0])
+
+    T_total = len(hubert) // 2
+    seq_len = min(64, max(8, T_total // 3 // 8 * 8))
+    task = PostnetTask(tr, PostnetTaskConfig(seq_len=seq_len),
+                       predict_fn=predict_fn)
+    trainer = Trainer(
+        task, workdir("postnet"),
+        config=Config({
+            "task_cls": "postnet", "postnet_out_dim": 204,
+            "postnet_hidden": 256, "postnet_layers": 4,
+            "seq_len": seq_len, "batch_size": 4,
+            "binary_data_dir": DATA_DIR, "video_id": "synth512",
+        }),
+        max_updates=args.steps,
+        val_check_interval=args.val_interval,
+        tb_log_interval=100,
+        num_ckpt_keep=2,
+    )
+    t0 = time.time()
+    trainer.fit(resume=not args.reset)
+    print(f"| postnet {args.steps} steps in {(time.time() - t0) / 60:.1f} min")
+
+
 def stage_eval_a2m(args):
     """End-to-end AUDIO-DRIVEN evaluation: held-out audio -> a2m ->
     production pipeline (quantile clamps, LLE, blink injection, region
@@ -315,8 +380,10 @@ def stage_eval_a2m(args):
     if not os.path.exists(os.path.join(torso_dir, "config.yaml")):
         print(f"| no torso stage at {torso_dir} — head-only eval")
         torso_dir = None
+    postnet_dir = workdir("postnet") if getattr(args, "postnet", False) else None
     infer = GeneFaceInfer(
         audio2secc_dir=workdir("a2m"),
+        postnet_dir=postnet_dir,
         head_model_dir=workdir(args.variant),
         torso_model_dir=torso_dir,
         dataset=tr,
@@ -366,7 +433,8 @@ def stage_eval_a2m(args):
            for dsx, k in srcs]
     lms = [dsx.samples[k]["lms"] for dsx, k in srcs]
     res = {"variant": args.variant, "frames": L,
-           "held_out_start": s, "temperature": 0.0}
+           "held_out_start": s, "temperature": 0.0,
+           "postnet": bool(postnet_dir)}
     res = _lmd_report(res, frames, gts, lms)
     if args.clip:
         from genefaceplusplus_tpu.data.video import StreamingVideoWriter
@@ -952,10 +1020,15 @@ def main():
     ta.add_argument("--steps", type=int, default=30_000)
     ta.add_argument("--val_interval", type=int, default=2500)
     ta.add_argument("--reset", action="store_true")
+    tp = sub.add_parser("train-postnet")
+    tp.add_argument("--steps", type=int, default=8000)
+    tp.add_argument("--val_interval", type=int, default=1000)
+    tp.add_argument("--reset", action="store_true")
     ea = sub.add_parser("eval-a2m")
     ea.add_argument("--variant", type=str, default="fourier")
     ea.add_argument("--clip", type=str, default="")
     ea.add_argument("--frames", type=int, default=0)
+    ea.add_argument("--postnet", action="store_true")
     l = sub.add_parser("lmd")
     l.add_argument("--iters", type=int, default=3000)
     l.add_argument("--arch", type=str, default="v1", choices=["v1", "v2"])
@@ -984,6 +1057,7 @@ def main():
     args = p.parse_args()
     {"gen": stage_gen, "measure": stage_measure, "train": stage_train,
      "train-torso": stage_train_torso, "train-a2m": stage_train_a2m,
+     "train-postnet": stage_train_postnet,
      "eval-a2m": stage_eval_a2m, "lmd": stage_lmd,
      "lmd-remeasure": stage_lmd_remeasure, "eval": stage_eval,
      "eval-torso": stage_eval_torso, "parity": stage_parity}[args.stage](args)
