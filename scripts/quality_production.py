@@ -432,9 +432,16 @@ def stage_eval_a2m(args):
     gts = [(dsx.load_image(k, "gt", full_res=True) * 255).astype(np.uint8)
            for dsx, k in srcs]
     lms = [dsx.samples[k]["lms"] for dsx, k in srcs]
+    # PSNR vs GT is a SECONDARY number here: audio-driven motion differs
+    # from GT motion by construction, so the gap vs the GT-driven eval's
+    # val_sr_psnr_512 quantifies motion-induced error, not render quality
+    psnrs = [-10 * np.log10(max(float(np.mean(
+        (r.astype(np.float32) / 255 - g.astype(np.float32) / 255) ** 2)), 1e-10))
+        for r, g in zip(frames, gts)]
     res = {"variant": args.variant, "frames": L,
            "held_out_start": s, "temperature": 0.0,
-           "postnet": bool(postnet_dir)}
+           "postnet": bool(postnet_dir),
+           "audio_driven_psnr_512": round(float(np.mean(psnrs)), 2)}
     res = _lmd_report(res, frames, gts, lms)
     if args.clip:
         from genefaceplusplus_tpu.data.video import StreamingVideoWriter
