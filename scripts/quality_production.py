@@ -453,7 +453,8 @@ def stage_eval_a2m(args):
         wtr.close()
         res["clip"] = args.clip
     print(json.dumps(res))
-    with open(os.path.join(workdir("a2m"), "quality_eval.json"), "w") as f:
+    suffix = "_postnet" if postnet_dir else ""
+    with open(os.path.join(workdir("a2m"), f"quality_eval{suffix}.json"), "w") as f:
         json.dump(res, f, indent=2)
 
 
