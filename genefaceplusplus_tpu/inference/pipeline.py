@@ -504,10 +504,14 @@ class GeneFaceInfer:
             if idexp.shape[1] >= 468:
                 idexp = idexp[:, INDEX_LM68_FROM_LM478]
 
-        # dataset statistics + quantile clamps (genefacepp_infer.py:334-344)
+        # dataset statistics + quantile clamps (genefacepp_infer.py:334-344).
+        # Use the dataset's OWN (stored) mean/std — the exact normalisation
+        # the renderer was trained with (data/dataset.py) — not a recompute:
+        # on zero-variance dims a different epsilon floor amplifies numeric
+        # noise ~1000x into the condition.
         ds_lm = np.asarray(self.dataset.ds["idexp_lm3d"], np.float32).reshape(-1, 68, 3)
-        mean = ds_lm.mean(0, keepdims=True)
-        std = ds_lm.std(0, keepdims=True) + 1e-8
+        mean = np.asarray(self.dataset.idexp_lm3d_mean, np.float32).reshape(1, 68, 3)
+        std = np.asarray(self.dataset.idexp_lm3d_std, np.float32).reshape(1, 68, 3)
         norm_ds = (ds_lm - mean) / std
         lower = np.quantile(norm_ds, 0.03, axis=0)
         upper = np.quantile(norm_ds, 0.97, axis=0)
@@ -554,6 +558,14 @@ class GeneFaceInfer:
         # freeze non-driven regions to the first frame (:411-418)
         normalized = recompose_lm68_regions(normalized)
 
+        if not np.isfinite(normalized).all():
+            # fail loudly: a non-finite condition renders structured garbage
+            # that per-frame metrics under-report (found the hard way — a
+            # singular unregularized LLE solve poisoned a whole eval run)
+            bad = np.where(~np.isfinite(normalized).reshape(T, -1).all(axis=1))[0]
+            raise FloatingPointError(
+                f"non-finite driven condition at frames {bad.tolist()} — "
+                "upstream a2m/postnet/LLE produced NaN/Inf")
         batch["eye_area_percent"] = eye_area_percent
         batch["cond"] = normalized.reshape(T, 1, 68 * 3).astype(np.float32)
         # driving coefficients kept for the --debug SECC panel
@@ -567,10 +579,25 @@ class GeneFaceInfer:
         if pred.shape[-1] == 204:
             # direct-drive path: project the final driven landmarks (the
             # same cano set the head is conditioned on) — there are no
-            # id/exp coefficients to reconstruct from
+            # id/exp coefficients to reconstruct from. Use the per-identity
+            # CALIBRATED camera projection (utils/lm_projection.py): the BFM
+            # convention does not apply to idexp-native identities, and the
+            # torso was trained on the dataset's stored 2D lms — feeding it
+            # a different convention is catastrophically off-distribution
+            # (found as an all-frames garbage torso in the audio-driven eval)
             cano_final = (mean + std * normalized) / 10.0 + key_mean[None]
-            lm2d = self._jit_project_lm2d(
-                jnp.asarray(cano_final), jnp.asarray(smo_euler), jnp.asarray(smo_trans))
+            proj = self._cano_projection()
+            if proj is not None:
+                from genefaceplusplus_tpu.utils.lm_projection import project_cano_lm3d
+
+                ds = self.dataset
+                lm2d = project_cano_lm3d(
+                    proj, cano_final.astype(np.float32),
+                    np.asarray(batch["poses"], np.float32),
+                    ds.intrinsics, ds.H, ds.W)
+            else:
+                lm2d = self._jit_project_lm2d(
+                    jnp.asarray(cano_final), jnp.asarray(smo_euler), jnp.asarray(smo_trans))
         else:
             lm2d = self._jit_lm2d_nerf(
                 jnp.asarray(id_coeff), jnp.asarray(exp), jnp.asarray(smo_euler), jnp.asarray(smo_trans)
@@ -580,6 +607,43 @@ class GeneFaceInfer:
             lm2d = lm2d[:, INDEX_LM68_FROM_LM478]
         batch["lm68"] = lm2d.astype(np.float32)
         return batch
+
+    # ------------------------------------------------------------------
+    def _cano_projection(self):
+        """Lazily calibrate the fixed canonical->world affine used to
+        project driven landmarks for the torso condition on the
+        direct-drive path (utils/lm_projection.py rationale). Cached;
+        returns None (-> BFM-convention fallback) when the dataset lacks
+        stored 2D landmarks or the fit does not explain them (non-static
+        world head — not a RAD-NeRF-style dataset)."""
+        if "cano_proj" in self._fn_cache:
+            return self._fn_cache["cano_proj"]
+        out = None
+        ds = self.dataset
+        if ds is not None and self.face3d_helper is not None and len(ds) >= 2:
+            lms = [s.get("lms") for s in ds.samples]
+            if all(l is not None for l in lms):
+                from genefaceplusplus_tpu.utils.lm_projection import (
+                    calibrate_cano_to_world)
+
+                key_mean = np.asarray(self.face3d_helper.key_mean_shape)
+                if key_mean.shape[0] >= 468:
+                    key_mean = key_mean[INDEX_LM68_FROM_LM478]
+                idexp = np.asarray(ds.ds["idexp_lm3d"], np.float32).reshape(-1, 68, 3)
+                fids = np.clip(np.asarray(ds.frame_ids), 0, len(idexp) - 1)
+                cano = idexp[fids] / 10.0 + key_mean[None]
+                M, resid = calibrate_cano_to_world(
+                    cano, ds.poses, ds.intrinsics, np.stack(lms), ds.H, ds.W)
+                if resid <= 0.02 * ds.W:
+                    out = M
+                    print(f"| lm2d projection: calibrated (residual "
+                          f"{resid:.2f}px @ {ds.W})")
+                else:
+                    print(f"| WARNING: lm2d calibration residual {resid:.1f}px "
+                          f"> {0.02 * ds.W:.1f} — falling back to the BFM "
+                          "projection convention")
+        self._fn_cache["cano_proj"] = out
+        return out
 
     # ------------------------------------------------------------------
     def _auto_compact_frac(self, poses, opts: RenderOptions, image_hw,

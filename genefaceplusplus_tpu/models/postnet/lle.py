@@ -28,9 +28,20 @@ def find_k_nearest_neighbors(feats: jnp.ndarray, feat_database: jnp.ndarray, K: 
     return idx
 
 
-def solve_lle_projection_batch(feat: jnp.ndarray, feat_base: jnp.ndarray
+def solve_lle_projection_batch(feat: jnp.ndarray, feat_base: jnp.ndarray,
+                               reg: float = 1e-4
                                ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """feat [N, C], feat_base [N, K, C] -> (feat_fuse [N,C], errors [N], weights [N,K])."""
+    """feat [N, C], feat_base [N, K, C] -> (feat_fuse [N,C], errors [N], weights [N,K]).
+
+    The reference solves the unregularized normal equations
+    (modules/postnet/lle.py:30-78), which silently assumes the K neighbours
+    span a (K-1)-dim affine subspace. On low-intrinsic-dimension manifolds
+    (K-1 > manifold dim — e.g. a synthetic identity whose landmarks move on
+    a ~3-dof articulation) the Gram matrix is singular and the solve returns
+    NaN, which would poison every downstream condition. Tikhonov-condition
+    it the way scikit-learn's LLE does (barycenter_weights: G += reg*tr(G)*I):
+    a relative ridge leaves well-conditioned systems unchanged to ~reg and
+    bounds the weights on degenerate ones."""
     N, K, C = feat_base.shape
     if K == 1:
         return feat_base[:, 0], jnp.zeros((N,)), jnp.ones((N, 1))
@@ -39,6 +50,9 @@ def solve_lle_projection_batch(feat: jnp.ndarray, feat_base: jnp.ndarray
     AT = jnp.swapaxes(A, 1, 2)  # [N, K-1, C]
     ATA = AT @ A  # [N, K-1, K-1]
     ATB = (AT @ B[..., None])  # [N, K-1, 1]
+    trace = jnp.trace(ATA, axis1=-2, axis2=-1)  # [N]
+    ridge = reg * trace + 1e-12  # absolute floor for all-identical neighbours
+    ATA = ATA + ridge[:, None, None] * jnp.eye(K - 1, dtype=ATA.dtype)
     X = jnp.linalg.solve(ATA, ATB)[..., 0]  # [N, K-1]
     w0 = 1.0 - X.sum(axis=-1, keepdims=True)
     weights = jnp.concatenate([w0, X], axis=-1)  # [N, K]

@@ -158,3 +158,29 @@ class TestLLE:
         np.testing.assert_allclose(np.asarray(weights.sum(-1)), 1.0, atol=1e-3)
         # projection reduces (or equals) distance to the database manifold
         assert np.isfinite(np.asarray(fuse)).all()
+
+    def test_low_rank_manifold_is_finite(self):
+        """Regression: K-1 neighbours spanning a rank-deficient affine
+        subspace (a low-articulation identity — e.g. landmarks driven by a
+        ~3-dof synthetic motion) made the unregularized normal-equation
+        solve singular -> NaN, which poisoned every downstream condition.
+        The Tikhonov ridge must keep the solve finite, weights bounded, and
+        the projection still exact for points inside the low-rank hull."""
+        rng = np.random.RandomState(2)
+        # database on a 3-dim affine manifold embedded in 204-d
+        basis = rng.randn(3, 204).astype(np.float32)
+        coeffs = rng.randn(300, 3).astype(np.float32)
+        db = jnp.asarray(coeffs @ basis + rng.randn(204).astype(np.float32))
+        # queries near (but off) the manifold -> K=10 neighbours are rank-3
+        q = np.asarray(db[:5]) + 0.01 * rng.randn(5, 204).astype(np.float32)
+        fuse, errors, weights = compute_lle_projection(jnp.asarray(q), db, K=10)
+        assert np.isfinite(np.asarray(fuse)).all()
+        assert np.isfinite(np.asarray(weights)).all()
+        np.testing.assert_allclose(np.asarray(weights.sum(-1)), 1.0, atol=1e-3)
+        # projection lands close to the query (it was ~on the manifold)
+        assert float(jnp.abs(fuse - q).mean()) < 0.05
+        # identical-neighbour degenerate case: zero trace, absolute floor
+        same = jnp.tile(db[0][None, None], (1, 10, 1))
+        f2, _, w2 = solve_lle_projection_batch(db[0][None], same)
+        assert np.isfinite(np.asarray(f2)).all()
+        assert np.isfinite(np.asarray(w2)).all()
