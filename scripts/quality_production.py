@@ -511,7 +511,7 @@ def _detector():
     return LMDetector()
 
 
-def _detector_v2():
+def _detector_v2(return_conf: bool = False):
     """Heatmap + spatial soft-argmax landmark head (the v2 instrument).
 
     v1 regresses 136 coords from an 8x8 bottleneck — its ~5.5 px floor at
@@ -527,6 +527,8 @@ def _detector_v2():
     import jax.numpy as jnp
 
     class LMDetectorV2(nn.Module):
+        return_conf: bool = False
+
         @nn.compact
         def __call__(self, x):  # [B, 128, 128, 3] in [0,1]
             skips = {}
@@ -550,13 +552,21 @@ def _detector_v2():
             raw = jnp.stack([c, r], axis=-1)      # [B, 68, 2] (col=x-ish, row=y-ish)
             W = self.param("calib_w", lambda k: jnp.eye(2))
             b = self.param("calib_b", lambda k: jnp.zeros((2,)))
-            return (raw @ W + b).reshape(B, 136)
+            out = (raw @ W + b).reshape(B, 136)
+            if self.return_conf:
+                # heatmap peakedness per landmark: a soft-argmax over a
+                # DIFFUSE map collapses to the image centroid and reads as
+                # O(100 px) error on out-of-distribution input (observed on
+                # the pre-fix audio-driven eval). Peak prob ~ 1/(Hh*Wh)
+                # means "no detection"; confident peaks are >> that.
+                return out, probs.max(axis=1)  # [B, 136], [B, 68]
+            return out
 
-    return LMDetectorV2()
+    return LMDetectorV2(return_conf=return_conf)
 
 
-def _detector_for(arch: str):
-    return _detector() if arch == "v1" else _detector_v2()
+def _detector_for(arch: str, return_conf: bool = False):
+    return _detector() if arch == "v1" else _detector_v2(return_conf)
 
 
 def _detector_path(arch: str) -> str:
@@ -644,24 +654,33 @@ def stage_lmd(args):
     print(f"| detector ({arch}) at {path}; held-out GT floor {floor:.2f}px @512")
 
 
-def detect_lmd(frames_u8, gt_lms, arch: str = "v1", per_landmark: bool = False):
+def detect_lmd(frames_u8, gt_lms, arch: str = "v1", per_landmark: bool = False,
+               with_conf: bool = False):
     """Mean landmark distance (px at 512) of detector(render) vs GT lms.
 
     With per_landmark=True returns the [N, 68] error matrix instead of the
-    scalar mean — for region breakdowns (jawline vs inner face vs mouth)."""
+    scalar mean — for region breakdowns (jawline vs inner face vs mouth).
+    With with_conf=True (v2 only) also returns the [N, 68] heatmap peak
+    probability — the instrument-validity signal (see LMDetectorV2)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
     from flax import serialization
 
-    det = _detector_for(arch)
+    det = _detector_for(arch, return_conf=with_conf and arch == "v2")
     with open(_detector_path(arch), "rb") as f:
         params = serialization.msgpack_restore(f.read())
     X = jnp.asarray(np.stack([_to_det_input(f_) for f_ in frames_u8]))
-    pred = np.asarray(jax.jit(det.apply)(params, X)).reshape(-1, 68, 2)
+    out = jax.jit(det.apply)(params, X)
+    conf = None
+    if with_conf and arch == "v2":
+        out, conf = out
+        conf = np.asarray(conf)
+    pred = np.asarray(out).reshape(-1, 68, 2)
     gt = np.asarray(gt_lms).reshape(-1, 68, 2)
     err = np.linalg.norm((pred - gt) * 512.0, axis=-1)  # [N, 68]
-    return err if per_landmark else float(np.mean(err))
+    res = err if per_landmark else float(np.mean(err))
+    return (res, conf) if with_conf and arch == "v2" else res
 
 
 def _lmd_report(res: dict, renders, gts, lms):
@@ -678,13 +697,22 @@ def _lmd_report(res: dict, renders, gts, lms):
         res["val_lmd_px_512"] = round(detect_lmd(renders, stack), 2)
         res["lmd_floor_px_512"] = round(detect_lmd(gts, stack), 2)
     if os.path.exists(DETECTOR2):
-        err = detect_lmd(renders, stack, arch="v2", per_landmark=True)
-        floor = detect_lmd(gts, stack, arch="v2", per_landmark=True)
+        err, conf = detect_lmd(renders, stack, arch="v2", per_landmark=True,
+                               with_conf=True)
+        floor, conf_gt = detect_lmd(gts, stack, arch="v2", per_landmark=True,
+                                    with_conf=True)
         res["val_lmd_px_512_v2"] = round(float(err.mean()), 2)
         res["lmd_floor_px_512_v2"] = round(float(floor.mean()), 2)
         for name, sl in (("inner", slice(17, 68)), ("mouth", slice(48, 68))):
             res[f"val_lmd_{name}_px_512_v2"] = round(float(err[:, sl].mean()), 2)
             res[f"lmd_floor_{name}_px_512_v2"] = round(float(floor[:, sl].mean()), 2)
+        # instrument validity: heatmap peak prob per landmark. Low peaks on
+        # renders with high peaks on GT mean the detector is off its
+        # training distribution and the v2 numbers above overstate error
+        # (soft-argmax centroid collapse); uniform map ~ 1/1024.
+        res["lmd_v2_conf"] = round(float(conf.mean()), 4)
+        res["lmd_v2_conf_floor"] = round(float(conf_gt.mean()), 4)
+        res["lmd_v2_lowconf_frac"] = round(float((conf < 0.01).mean()), 4)
     return res
 
 
