@@ -604,18 +604,72 @@ def stage_lmd(args):
     Xv = np.stack([_to_det_input(s["gt_img"]) for s in val])
     Yv = np.stack([s["lms"].reshape(-1) for s in val])
 
+    # --- surroundings augmentation (round-4 instrument hardening) ---
+    # The round-3 v2 detector lost the face on ~20% of head-only-clip
+    # frames (VERDICT weak #3): it had only ever seen the GT composite, so
+    # any change in the torso/background appearance pushed the heatmaps
+    # off-distribution and the soft-argmax collapsed. The dataset stores
+    # bg_img + per-frame RGBA torso, and gt = where(head_mask, head,
+    # bg*(1-ta)+torso*ta) exactly (data/synthetic_face.py:348-353), so the
+    # head mask is recoverable per frame; training composites the SAME head
+    # pixels over a pool of alternative surroundings (other frames'
+    # torso composites, recolored/blurred variants, solid fills) so the
+    # detector keys on the face, not its context.
+    import cv2
+
+    bg512 = np.asarray(ds["bg_img"], np.float32) / 255.0
+
+    def _bgtorso(s):
+        t = np.asarray(s["torso_img"], np.float32) / 255.0
+        return bg512 * (1 - t[..., 3:]) + t[..., :3] * t[..., 3:]
+
+    def _at128(img):
+        return cv2.resize(img.astype(np.float32), (128, 128))
+
+    M = np.stack([
+        (np.abs(np.asarray(s["gt_img"], np.float32) / 255.0 - _bgtorso(s))
+         .max(-1) > 1.5 / 255.0).astype(np.float32)
+        for s in train])
+    M = np.stack([_at128(m) for m in M])[..., None]          # [N,128,128,1]
+    rngp = np.random.RandomState(7)
+    pool = [np.zeros((128, 128, 3), np.float32),
+            np.ones((128, 128, 3), np.float32) * 0.5,
+            _at128(bg512)]
+    for j in rngp.choice(len(train), size=13, replace=False):
+        pool.append(_at128(_bgtorso(train[j])))
+    for _ in range(8):                                        # recolor/blur
+        base = pool[rngp.randint(len(pool))]
+        v = base * rngp.uniform(0.3, 1.4) + rngp.uniform(-0.2, 0.2, size=3)
+        if rngp.rand() < 0.5:
+            v = cv2.GaussianBlur(v, (0, 0), rngp.uniform(1, 6))
+        pool.append(np.clip(v, 0, 1).astype(np.float32))
+    for _ in range(8):                                        # texture noise
+        v = np.clip(rngp.uniform(0.1, 0.9)
+                    + cv2.GaussianBlur(rngp.randn(128, 128, 3).astype(np.float32),
+                                       (0, 0), rngp.uniform(2, 10)) * 0.8, 0, 1)
+        pool.append(v.astype(np.float32))
+    BGPOOL = jnp.asarray(np.stack(pool))                      # [P,128,128,3]
+
     det = _detector_for(arch)
     params = det.init(jax.random.PRNGKey(0), jnp.zeros((1, 128, 128, 3)))
     tx = optax.adam(3e-4)
     opt = tx.init(params)
 
     @jax.jit
-    def step(params, opt, xb, yb, key):
+    def step(params, opt, xb, yb, mb, key):
         # augment: brightness/noise jitter so the detector transfers from
         # GT appearance to NeRF renders; v2 adds random translations (the
         # soft-argmax head is spatially structured, so shift equivariance
-        # must come from data, with labels shifted to match)
-        k1, k2, k3 = jax.random.split(key, 3)
+        # must come from data, with labels shifted to match) and random
+        # surroundings replacement (see BGPOOL construction above)
+        k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+        if arch == "v2":
+            # replace surroundings on ~60% of samples BEFORE photometric
+            # jitter so brightness/noise also decorrelate from context
+            pidx = jax.random.randint(k4, (len(xb),), 0, BGPOOL.shape[0])
+            useb = (jax.random.uniform(k5, (len(xb), 1, 1, 1)) < 0.6)
+            alt = BGPOOL[pidx]
+            xb = jnp.where(useb, mb * xb + (1 - mb) * alt, xb)
         xb = jnp.clip(xb * jax.random.uniform(k1, (len(xb), 1, 1, 1), minval=0.85, maxval=1.15)
                       + 0.02 * jax.random.normal(k2, xb.shape), 0, 1)
         if arch == "v2":
@@ -639,7 +693,8 @@ def stage_lmd(args):
     for it in range(args.iters):
         idx = rng.randint(0, len(X), size=16)
         key, sub = jax.random.split(key)
-        params, opt, loss = step(params, opt, jnp.asarray(X[idx]), jnp.asarray(Y[idx]), sub)
+        params, opt, loss = step(params, opt, jnp.asarray(X[idx]), jnp.asarray(Y[idx]),
+                                 jnp.asarray(M[idx]), sub)
         if (it + 1) % 500 == 0:
             pv = predict(params, jnp.asarray(Xv))
             floor = float(jnp.mean(jnp.linalg.norm(
@@ -703,6 +758,14 @@ def _lmd_report(res: dict, renders, gts, lms):
                                     with_conf=True)
         res["val_lmd_px_512_v2"] = round(float(err.mean()), 2)
         res["lmd_floor_px_512_v2"] = round(float(floor.mean()), 2)
+        # heavy-tail check (VERDICT round-3 weak #3): per-frame mean error
+        # quantiles. p90/p50 >= 2 on a clip means the detector lost the face
+        # on a frame subset and the mean above overstates model error.
+        pf = err.mean(axis=1)
+        res["lmd_v2_p50"] = round(float(np.percentile(pf, 50)), 2)
+        res["lmd_v2_p90"] = round(float(np.percentile(pf, 90)), 2)
+        res["lmd_v2_tail_ratio"] = round(
+            float(np.percentile(pf, 90) / max(np.percentile(pf, 50), 1e-6)), 2)
         for name, sl in (("inner", slice(17, 68)), ("mouth", slice(48, 68))):
             res[f"val_lmd_{name}_px_512_v2"] = round(float(err[:, sl].mean()), 2)
             res[f"lmd_floor_{name}_px_512_v2"] = round(float(floor[:, sl].mean()), 2)
