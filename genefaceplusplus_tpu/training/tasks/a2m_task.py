@@ -121,7 +121,31 @@ class A2MTask:
             metrics = {"mse_loss": mse, "kl_loss": aux["loss_kl"], "total_loss": total}
             return total, (metrics, mutated.get("batch_stats", {}))
 
-        def step(state: A2MTrainState, batch):
+        L = cfg.seq_len
+
+        def gather(data, starts):
+            # on-device batch assembly: the full track lives on the device
+            # (hubert [2T,1024] is only a few MB), the host sends B int32
+            # window starts per step. Host-side np.stack + transfer was
+            # ~4 MB/step through the network device tunnel and throttled
+            # training to ~1 step/s once the tunnel send buffer filled
+            # (round-4 measurement); this is the same fix the head/SR/torso
+            # tasks got in round 3.
+            def one(s):
+                audio = jax.lax.dynamic_slice(
+                    data["hubert"], (2 * s, 0), (2 * L, data["hubert"].shape[1]))
+                f0 = jax.lax.dynamic_slice(data["f0"], (2 * s,), (2 * L,))
+                y = jax.lax.dynamic_slice(
+                    data["exp"], (s, 0), (L, data["exp"].shape[1]))
+                return audio, f0, y
+
+            audio, f0, y = jax.vmap(one)(starts)
+            return {"audio": audio, "f0": f0, "y": y,
+                    "y_mask": jnp.ones((starts.shape[0], L))}
+
+        def step(state: A2MTrainState, batch, data=None):
+            if data is not None:
+                batch = gather(data, batch["starts"])
             rng, sub = jax.random.split(state.rng)
             params = state.variables["params"]
             bstats = state.variables.get("batch_stats", {})
@@ -140,21 +164,28 @@ class A2MTask:
 
         return step
 
+    def _device_data(self) -> Dict:
+        """Device-resident copies of the full tracks, rebuilt if the host
+        arrays are swapped after construction (quality_production's
+        stage_train_a2m replaces task.hubert/f0 with the synthesized
+        track)."""
+        ids = (id(self.hubert), id(self.f0), id(self.exp))
+        if getattr(self, "_dev_ids", None) != ids:
+            self._dev = {"hubert": jnp.asarray(self.hubert),
+                         "f0": jnp.asarray(self.f0),
+                         "exp": jnp.asarray(self.exp)}
+            self._dev_ids = ids
+        return self._dev
+
     def sample_train_batch(self) -> Dict:
         c = self.cfg
-        L = c.seq_len
-        starts = self.np_rng.randint(0, max(1, self.T_train - L), size=c.batch_size)
-        audio = np.stack([self.hubert[2 * s : 2 * (s + L)] for s in starts])
-        f0 = np.stack([self.f0[2 * s : 2 * (s + L)] for s in starts])
-        y = np.stack([self.exp[s : s + L] for s in starts])
-        return {
-            "audio": jnp.asarray(audio),
-            "f0": jnp.asarray(f0),
-            "y_mask": jnp.ones((c.batch_size, L)),
-            "y": jnp.asarray(y),
-        }
+        starts = self.np_rng.randint(0, max(1, self.T_train - c.seq_len),
+                                     size=c.batch_size)
+        return {"starts": jnp.asarray(starts, jnp.int32)}
 
     def train_step(self, state, batch):
+        if "starts" in batch:
+            return self._train_step(state, batch, self._device_data())
         return self._train_step(state, batch)
 
     def update_extra_state(self, state):

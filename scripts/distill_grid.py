@@ -1,0 +1,346 @@
+"""Grid->Fourier distillation: make converted reference checkpoints fast.
+
+The reference ships tiledgrid (instant-ngp hash) checkpoints and runs them
+at ~45 fps on its own CUDA path (/root/reference/inference/genefacepp_infer.py:434,
+/root/reference/modules/radnerfs/encoders/gridencoder/grid.py:96-188). On
+TPU the hash-grid gather is structurally HBM-bound — measured 2.4 fps at
+128² (docs/QUALITY_PARITY.md) — so a converted checkpoint lands 10× under
+the 25 fps bar. Rather than hand-tuning a gather kernel against the memory
+system, this script *distills* the converted tiledgrid model into the
+TPU-native Fourier flagship (the 178 fps path): render pseudo-GT from the
+slow teacher once, fit the student to it image-space, and verify fidelity
+(student-vs-teacher PSNR) plus speed.
+
+Stages (each resumable):
+  python scripts/distill_grid.py teacher --steps 800      # short-trained
+      tiledgrid teacher on the synthetic identity (stand-in for a converted
+      reference checkpoint; any head ckpt dir works via --teacher_dir)
+  python scripts/distill_grid.py pseudo                   # teacher renders
+  python scripts/distill_grid.py fit --steps 3000         # fourier student
+  python scripts/distill_grid.py eval                     # PSNR + fps
+
+The teacher stage exists because no real released checkpoint is
+downloadable in this environment; a converted one (scripts/convert_ckpt.py
+output dir) slots straight into --teacher_dir since both are native ckpt
+dirs with a config.yaml (the self-describing-ckpt contract).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+DATA_DIR = os.environ.get("SYNTH_DATA_DIR", "/tmp/gfpp_synth")
+WORKROOT = os.environ.get("SYNTH_WORKROOT", "checkpoints")
+SIZE = int(os.environ.get("DISTILL_SIZE", "256"))
+FRAMES = int(os.environ.get("DISTILL_FRAMES", "450"))
+DATA = os.path.join(DATA_DIR, f"synth{SIZE}", "trainval_dataset.npy")
+PSEUDO = os.path.join(DATA_DIR, f"synth{SIZE}", "distill_pseudo.npz")
+
+TEACHER_DIR = os.path.join(WORKROOT, "distill_teacher_tiledgrid")
+STUDENT_DIR = os.path.join(WORKROOT, "distill_student_fourier")
+
+
+def _jax_setup():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    return jax
+
+
+def _datasets():
+    from genefaceplusplus_tpu.data.dataset import RADNeRFDataset
+    from genefaceplusplus_tpu.data.synthetic_face import cached_synthetic_face
+
+    cached_synthetic_face(DATA, num_frames=FRAMES, size=SIZE)
+    tr = RADNeRFDataset(DATA, split="train", smo_win_size=3, with_sr=True)
+    va = RADNeRFDataset(DATA, split="val", smo_win_size=3, with_sr=True,
+                        smooth_eval_camera=False)
+    return tr, va
+
+
+def _head_task(variant: str, tr, va, n_rays: int = 16384):
+    from genefaceplusplus_tpu.models.radnerf import RADNeRFConfig
+    from genefaceplusplus_tpu.training.radnerf_task import TaskHParams
+    from genefaceplusplus_tpu.training.tasks.head_task import (
+        HeadNeRFTask, HeadTaskConfig,
+    )
+
+    cfg = RADNeRFConfig(grid_type=variant,
+                        individual_embedding_num=len(tr) + len(va),
+                        add_eye_blink_cond=True)
+    task = HeadNeRFTask(tr, cfg, HeadTaskConfig(
+        n_rays=n_rays, finetune_lips=False, update_extra_interval=16),
+        TaskHParams(), seed=0)
+    task.val_dataset = va
+    return task
+
+
+def _restore(task, ckpt_dir: str):
+    from genefaceplusplus_tpu.training.trainer import _as_dict, _from_dict
+    from genefaceplusplus_tpu.utils.ckpt import get_last_checkpoint, restore_into
+
+    ckpt, path = get_last_checkpoint(ckpt_dir)
+    assert ckpt is not None, f"no checkpoint in {ckpt_dir}"
+    state = _from_dict(task.create_state(),
+                       restore_into(_as_dict(task.create_state()),
+                                    ckpt["state_dict"]))
+    task.load_extra_state(ckpt.get("extra_state", {}))
+    print(f"| ckpt @ step {int(ckpt['global_step'])}: {path}")
+    return state, int(ckpt["global_step"])
+
+
+def _teacher_task(tr, va, teacher_dir: str):
+    """Build the teacher from its ckpt-dir config (grid_type etc.) — a
+    converted reference checkpoint dir or the `teacher` stage's output."""
+    import yaml
+
+    cfg_path = os.path.join(teacher_dir, "config.yaml")
+    variant = "tiledgrid"
+    if os.path.exists(cfg_path):
+        with open(cfg_path) as f:
+            variant = (yaml.safe_load(f) or {}).get("grid_type", "tiledgrid")
+    return _head_task(variant, tr, va), variant
+
+
+def _frame_render_fn(task):
+    """jitted full-frame renderer for a head task (validate()'s val_fn)."""
+    task_validate_stub(task)
+    return task._jit_val_render
+
+
+def task_validate_stub(task):
+    # validate(max_frames=0) still builds _jit_val_render lazily only when
+    # it iterates; force the build explicitly instead
+    import dataclasses
+
+    import jax
+
+    from genefaceplusplus_tpu.models.radnerf import RADNeRF
+    from genefaceplusplus_tpu.models.renderer import render_rays
+
+    if hasattr(task, "_jit_val_render"):
+        return
+    model, cfg = task.model, task.cfg
+    v_opts = dataclasses.replace(task.opts, perturb=False)
+
+    def val_fn(params, rays_o, rays_d, cond, eye, ind_idx, occupancy, bg):
+        cond_feat = model.apply(params, cond, eye, method=RADNeRF.cal_cond_feat)
+        ind = model.apply(params, ind_idx, method=RADNeRF.get_individual_code)
+
+        def field_fn(xyz, dirs):
+            return model.apply(params, xyz, dirs, cond_feat, ind,
+                               method=RADNeRF.field)
+
+        return render_rays(field_fn, rays_o, rays_d, occupancy,
+                           bound=cfg.bound, min_near=cfg.min_near,
+                           bg_color=bg, opts=v_opts)
+
+    task._jit_val_render = jax.jit(val_fn)
+
+
+def _render_split(task, state, ds, tag: str):
+    import jax.numpy as jnp
+    import numpy as np
+
+    from genefaceplusplus_tpu.utils.rays import pixel_rays_jit
+
+    task_validate_stub(task)
+    out = []
+    t0 = time.time()
+    for i in range(len(ds)):
+        pose = jnp.asarray(ds.frame_pose(i)[None])
+        ro, rd, _ = pixel_rays_jit(pose, ds.intrinsics, ds.H, ds.W)
+        gid = max(0, min(int(ds.frame_ids[i]),
+                         task.cfg.individual_embedding_num - 1))
+        bg = ds.frame_bg_torso(i)
+        bg = ds.bg_img if bg is None else bg
+        r = task._jit_val_render(
+            state.params, ro[0], rd[0], jnp.asarray(ds.frame_cond_window(i)),
+            jnp.asarray(ds.eye_area_percents[i:i + 1]),
+            jnp.asarray(gid, jnp.int32), task.occupancy,
+            jnp.asarray(np.asarray(bg, np.float32).reshape(-1, 3)))
+        img = np.clip(np.asarray(r.rgb_map, np.float32).reshape(ds.H, ds.W, 3), 0, 1)
+        out.append(np.round(img * 255).astype(np.uint8))
+        if (i + 1) % 50 == 0:
+            print(f"| {tag}: {i + 1}/{len(ds)} frames "
+                  f"({(i + 1) / (time.time() - t0):.2f} fps)")
+    return np.stack(out)
+
+
+def stage_teacher(args):
+    _jax_setup()
+    from genefaceplusplus_tpu.config import Config
+    from genefaceplusplus_tpu.training.trainer import Trainer
+
+    tr, va = _datasets()
+    task = _head_task("tiledgrid", tr, va, n_rays=args.n_rays)
+    trainer = Trainer(
+        task, TEACHER_DIR,
+        config=Config({"task_cls": "head", "grid_type": "tiledgrid",
+                       "binary_data_dir": DATA_DIR, "video_id": f"synth{SIZE}",
+                       "grid_size": 128,
+                       "individual_embedding_num": len(tr) + len(va)}),
+        max_updates=args.steps, val_check_interval=max(200, args.steps // 4),
+        tb_log_interval=50, num_ckpt_keep=1, update_extra_interval=16)
+    t0 = time.time()
+    trainer.fit(resume=not args.reset)
+    print(f"| teacher {args.steps} steps in {(time.time() - t0) / 60:.1f} min")
+
+
+def stage_pseudo(args):
+    _jax_setup()
+    import numpy as np
+
+    tr, va = _datasets()
+    task, variant = _teacher_task(tr, va, args.teacher_dir)
+    state, step = _restore(task, args.teacher_dir)
+    ptr = _render_split(task, state, tr, f"teacher({variant}) train")
+    pva = _render_split(task, state, va, f"teacher({variant}) val")
+    np.savez_compressed(PSEUDO, train=ptr, val=pva,
+                        teacher_dir=args.teacher_dir, teacher_step=step)
+    print(f"| pseudo-GT at {PSEUDO}: train {ptr.shape}, val {pva.shape}")
+
+
+def _swap_in_pseudo(tr, va):
+    """Point both splits' gt at the teacher renders (in-memory samples)."""
+    import numpy as np
+
+    z = np.load(PSEUDO, allow_pickle=True)
+    for ds, arr in ((tr, z["train"]), (va, z["val"])):
+        assert len(ds) == len(arr), (len(ds), arr.shape)
+        for i in range(len(ds)):
+            ds.samples[i] = dict(ds.samples[i])
+            ds.samples[i].pop("gt_img_fname", None)
+            ds.samples[i]["gt_img"] = arr[i]
+        ds._img_cache.clear()
+        ds._img_cache_bytes = 0
+    return str(z["teacher_dir"]), int(z["teacher_step"])
+
+
+def stage_fit(args):
+    _jax_setup()
+    from genefaceplusplus_tpu.config import Config
+    from genefaceplusplus_tpu.training.trainer import Trainer
+
+    tr, va = _datasets()
+    teacher_dir, tstep = _swap_in_pseudo(tr, va)
+    task = _head_task("fourier", tr, va, n_rays=args.n_rays)
+    trainer = Trainer(
+        task, STUDENT_DIR,
+        config=Config({"task_cls": "head", "grid_type": "fourier",
+                       "binary_data_dir": DATA_DIR, "video_id": f"synth{SIZE}",
+                       "grid_size": 128, "distilled_from": teacher_dir,
+                       "teacher_step": tstep,
+                       "individual_embedding_num": len(tr) + len(va)}),
+        max_updates=args.steps, val_check_interval=max(500, args.steps // 4),
+        tb_log_interval=100, num_ckpt_keep=1, update_extra_interval=16)
+    t0 = time.time()
+    trainer.fit(resume=not args.reset)
+    print(f"| student {args.steps} steps in {(time.time() - t0) / 60:.1f} min")
+
+
+def stage_eval(args):
+    _jax_setup()
+    import jax.numpy as jnp
+    import numpy as np
+
+    from genefaceplusplus_tpu.utils.rays import pixel_rays_jit
+
+    tr, va = _datasets()
+    z = np.load(PSEUDO, allow_pickle=True)
+    teacher_val = z["val"].astype(np.float32) / 255.0
+
+    student = _head_task("fourier", tr, va)
+    sstate, sstep = _restore(student, STUDENT_DIR)
+
+    # fidelity: student render vs teacher render, and both vs true GT
+    def _psnr(a, b):
+        mse = float(np.mean((a - b) ** 2))
+        return -10 * np.log10(max(mse, 1e-10))
+
+    renders = _render_split(student, sstate, va, "student val")
+    s_vs_t, s_vs_gt, t_vs_gt = [], [], []
+    for i in range(len(va)):
+        s = renders[i].astype(np.float32) / 255.0
+        gt = va.load_image(i, "gt")
+        s_vs_t.append(_psnr(s, teacher_val[i]))
+        s_vs_gt.append(_psnr(s, gt))
+        t_vs_gt.append(_psnr(teacher_val[i], gt))
+
+    # speed: per-frame wall time, varied inputs (the tunnel memoizes
+    # identical dispatches), best-of over the val set
+    def _fps(task, state, n=10):
+        task_validate_stub(task)
+        times = []
+        for i in range(min(n, len(va))):
+            pose = jnp.asarray(va.frame_pose(i)[None])
+            ro, rd, _ = pixel_rays_jit(pose, va.intrinsics, va.H, va.W)
+            gid = max(0, min(int(va.frame_ids[i]),
+                             task.cfg.individual_embedding_num - 1))
+            bg = va.frame_bg_torso(i)
+            bg = va.bg_img if bg is None else bg
+            t0 = time.time()
+            r = task._jit_val_render(
+                state.params, ro[0], rd[0],
+                jnp.asarray(va.frame_cond_window(i)),
+                jnp.asarray(va.eye_area_percents[i:i + 1]),
+                jnp.asarray(gid, jnp.int32), task.occupancy,
+                jnp.asarray(np.asarray(bg, np.float32).reshape(-1, 3)))
+            np.asarray(r.rgb_map)
+            if i:  # skip the compile call
+                times.append(time.time() - t0)
+        return 1.0 / float(np.median(times))
+
+    teacher, tvariant = _teacher_task(tr, va, args.teacher_dir)
+    tstate, tstep = _restore(teacher, args.teacher_dir)
+    res = {
+        "teacher": {"dir": args.teacher_dir, "variant": tvariant,
+                    "step": tstep,
+                    "psnr_vs_gt": round(float(np.mean(t_vs_gt)), 2),
+                    "fps_raw_%d" % va.H: round(_fps(teacher, tstate), 2)},
+        "student": {"dir": STUDENT_DIR, "variant": "fourier", "step": sstep,
+                    "psnr_vs_teacher": round(float(np.mean(s_vs_t)), 2),
+                    "psnr_vs_gt": round(float(np.mean(s_vs_gt)), 2),
+                    "fps_raw_%d" % va.H: round(_fps(student, sstate), 2)},
+        "n_val_frames": len(va),
+    }
+    res["speedup"] = round(res["student"]["fps_raw_%d" % va.H]
+                           / max(res["teacher"]["fps_raw_%d" % va.H], 1e-9), 1)
+    # the done-bar: student within ~0.5 dB of the slow path's own quality
+    res["gt_psnr_gap_db"] = round(res["teacher"]["psnr_vs_gt"]
+                                  - res["student"]["psnr_vs_gt"], 2)
+    print(json.dumps(res))
+    os.makedirs(STUDENT_DIR, exist_ok=True)
+    with open(os.path.join(STUDENT_DIR, "distill_eval.json"), "w") as f:
+        json.dump(res, f, indent=2)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    sub = p.add_subparsers(dest="stage", required=True)
+    t = sub.add_parser("teacher")
+    t.add_argument("--steps", type=int, default=800)
+    t.add_argument("--n_rays", type=int, default=16384)
+    t.add_argument("--reset", action="store_true")
+    ps = sub.add_parser("pseudo")
+    ps.add_argument("--teacher_dir", type=str, default=TEACHER_DIR)
+    f = sub.add_parser("fit")
+    f.add_argument("--steps", type=int, default=3000)
+    f.add_argument("--n_rays", type=int, default=16384)
+    f.add_argument("--reset", action="store_true")
+    e = sub.add_parser("eval")
+    e.add_argument("--teacher_dir", type=str, default=TEACHER_DIR)
+    args = p.parse_args()
+    {"teacher": stage_teacher, "pseudo": stage_pseudo,
+     "fit": stage_fit, "eval": stage_eval}[args.stage](args)
+
+
+if __name__ == "__main__":
+    main()
