@@ -167,6 +167,91 @@ def bench_full(n_frames: int = 50):
     return n_frames / best, "full_pipeline_fps_512"
 
 
+def bench_trained(n_frames: int = 50):
+    """Full-pipeline fps from the TRAINED synth512 checkpoint: real weights,
+    the real trained density/occupancy grids restored from ckpt extra_state,
+    and auto head/torso/SR crops derived from the TRAINED occupancy + the
+    dataset's pose envelope — i.e. the exact production composition
+    GeneFaceInfer ships (inference/pipeline.py), timed with the same
+    on-device scan methodology as bench_full. Addresses the round-3 verdict:
+    the synthetic-occupancy headline was never reproduced from trained
+    weights, and the auto-crop sizing (the biggest fps lever) is the
+    scene-dependent part.
+
+    Returns None when the trained artifacts (checkpoint dirs + binarized
+    dataset) are absent — the caller then falls back to the synthetic scene.
+    BENCH_TRAINED=0 forces the synthetic scene; BENCH_CKPT_HEAD /
+    BENCH_CKPT_TORSO override the artifact locations."""
+    if os.environ.get("BENCH_TRAINED", "1") == "0":
+        return None
+    head_dir = os.environ.get("BENCH_CKPT_HEAD", "checkpoints/synth512_fourier")
+    torso_dir = os.environ.get("BENCH_CKPT_TORSO", head_dir + "_torso")
+    from genefaceplusplus_tpu.utils.ckpt import get_last_checkpoint
+
+    try:
+        hckpt, _ = get_last_checkpoint(head_dir)
+    except Exception:
+        hckpt = None
+    if hckpt is None:
+        return None
+    try:
+        tckpt, _ = get_last_checkpoint(torso_dir)
+    except Exception:
+        tckpt = None
+
+    import jax
+    import jax.numpy as jnp
+
+    from genefaceplusplus_tpu.inference.pipeline import GeneFaceInfer
+    from genefaceplusplus_tpu.models.renderer import RenderOptions
+    from genefaceplusplus_tpu.utils.rays import get_bg_coords
+
+    infer = GeneFaceInfer(head_model_dir=head_dir,
+                          torso_model_dir=torso_dir if tckpt is not None else None)
+    ds = infer.dataset
+    if ds is None:
+        return None
+    H, W = ds.H, ds.W
+    # production inference budget (pipeline.forward_secc2video defaults)
+    opts = RenderOptions(num_coarse=48, num_samples=10, T_thresh=1e-2,
+                         march_mode="interval", entry_mode="probe")
+    chunk_fn = infer._build_chunk_fn(opts, H, W, n_frames,
+                                     head_crop=infer.head_crop,
+                                     torso_crop=infer.torso_crop,
+                                     sr_crop=infer.sr_crop, out_dtype="uint8")
+    print(f"| bench_trained: head={head_dir} torso={'yes' if tckpt else 'no'} "
+          f"head_crop={infer.head_crop} torso_crop={infer.torso_crop} "
+          f"sr_crop={'on' if infer.sr_crop else None}", flush=True)
+
+    idxs = [i % len(ds) for i in range(n_frames)]
+    poses = jnp.asarray(np.stack([ds.frame_pose(i) for i in idxs]))
+    ro, rd, _ = infer._jit_rays(poses, tuple(ds.intrinsics), H, W)
+    cond = jnp.asarray(np.stack([ds.frame_cond_window(i) for i in idxs]))
+    eye = jnp.asarray(np.asarray(ds.eye_area_percents)[idxs].reshape(n_frames, 1, 1))
+    lm68 = jnp.asarray(np.stack(
+        [np.asarray(ds.samples[i]["lms"], np.float32) for i in idxs]))[:, None]
+    bg_color = jnp.asarray(np.asarray(ds.bg_img, np.float32).reshape(-1, 3))
+    bg_coords = jnp.asarray(get_bg_coords(H, W)[0])
+
+    # reduce to one scalar ON DEVICE (jit-of-jit composes into one program):
+    # fetching the [C, 512, 512, 3] frame stack would time the tunnel
+    # downlink, not the chip — bench_full's methodology
+    @jax.jit
+    def run(cond):
+        imgs, _ = chunk_fn(infer.head_params, infer.torso_params,
+                           infer.sr_params, ro, rd, cond, eye,
+                           infer.occupancy, bg_color, bg_coords, lm68)
+        return imgs.astype(jnp.float32).sum()
+
+    float(run(cond))  # compile
+    best = float("inf")
+    for k in (1, 2, 3, 4, 5):  # vary cond: the tunnel memoizes identical dispatches
+        t0 = time.perf_counter()
+        float(run(cond + 1e-3 * k))
+        best = min(best, time.perf_counter() - t0 - 0.026)
+    return n_frames / best, "full_pipeline_fps_512_trained"
+
+
 def bench_head(n_frames: int = 25):
     import jax
     import jax.numpy as jnp
@@ -368,7 +453,11 @@ def main():
         print(json.dumps(out))
         return
     else:
-        fps, metric = bench_full()
+        res = bench_trained()
+        if res is not None:
+            fps, metric = res
+        else:
+            fps, metric = bench_full()
     print(json.dumps({
         "metric": metric,
         "value": round(fps, 2),
