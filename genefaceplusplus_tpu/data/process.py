@@ -208,6 +208,8 @@ def main(argv=None):
     p.add_argument("--mp_model_dir", type=str, default=None,
                    help="dir holding face_landmarker.task / selfie_multiclass_256x256.tflite")
     p.add_argument("--bfm_dir", type=str, default="deep_3drecon/BFM")
+    p.add_argument("--size", type=int, default=512,
+                   help="frame resize target (the reference pipeline is 512)")
     args = p.parse_args(argv)
 
     raw = os.path.join(args.data_dir, "raw/videos", f"{args.video_id}.mp4")
@@ -219,7 +221,7 @@ def main(argv=None):
         step = step.strip()
         print(f"| step: {step}")
         if step == "frames":
-            n = step_frames(raw, out_dir)
+            n = step_frames(raw, out_dir, size=args.size)
             print(f"| {n} frames")
         elif step == "audio":
             step_audio(out_dir)

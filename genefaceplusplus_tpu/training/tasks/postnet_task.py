@@ -50,12 +50,22 @@ class PostnetTaskConfig:
 
 class PostnetTask:
     def __init__(self, dataset: RADNeRFDataset, cfg: PostnetTaskConfig = PostnetTaskConfig(),
-                 predict_fn: Optional[Callable] = None, seed: int = 9999):
+                 predict_fn: Optional[Callable] = None, seed: int = 9999,
+                 raw_bank: Optional[np.ndarray] = None):
         """predict_fn(hubert [2T,C], f0 [2T], rng) -> raw lm3d [T, out_dim];
-        when None, raw predictions are synthesised as gt + smooth noise."""
+        when None, raw predictions are synthesised as gt + smooth noise.
+
+        raw_bank [K, T, out_dim]: optional pre-generated full-track a2m
+        predictions aligned to the gt track; training windows then slice
+        the bank instead of calling predict_fn per batch element. Through
+        the TPU tunnel a per-element predict_fn costs ~1.6 s/call
+        (0.15 steps/s measured) — K full-track dispatches up front buy the
+        same sample diversity at device-speed training. predict_fn is
+        still used for validation (few windows, once per val interval)."""
         self.dataset = dataset
         self.cfg = cfg
         self.predict_fn = predict_fn
+        self.raw_bank = None if raw_bank is None else np.asarray(raw_bank, np.float32)
         self.model = PitchContourCNNPostNet(
             out_dim=cfg.out_dim, hidden=cfg.hidden, n_layers=cfg.n_layers
         )
@@ -127,7 +137,10 @@ class PostnetTask:
         for _ in range(cfg.batch_size):
             s = int(self.np_rng.randint(0, max(1, T - L + 1)))
             gt = lm[s : s + L]
-            if self.predict_fn is not None:
+            if self.raw_bank is not None:
+                raw = self.raw_bank[self.np_rng.randint(len(self.raw_bank)),
+                                    s : s + L]
+            elif self.predict_fn is not None:
                 hubert = np.asarray(ds.ds["hubert"], np.float32)[2 * s : 2 * (s + L)]
                 raw = np.asarray(self.predict_fn(hubert, f0[2 * s : 2 * (s + L)],
                                                  self.np_rng.randint(1 << 30)))

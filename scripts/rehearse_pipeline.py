@@ -100,12 +100,13 @@ def make_assets(workdir: str, frames: int, size: int, seed: int = 0):
     return proc_dir
 
 
-def run_process(workdir: str):
+def run_process(workdir: str, size: int):
     from genefaceplusplus_tpu.data import process
 
     process.main([
         "--video_id", "rehearsal",
         "--data_dir", workdir,
+        "--size", str(size),
         "--steps", "frames,audio,segment,landmarks,fit,binarize",
     ])
     return os.path.join(workdir, "binary", "videos", "rehearsal",
@@ -165,7 +166,7 @@ def main():
     res["t_assets_s"] = round(time.time() - t0, 1)
 
     t0 = time.time()
-    binary_path = run_process(workdir)
+    binary_path = run_process(workdir, args.size)
     res["t_process_s"] = round(time.time() - t0, 1)
     assert os.path.exists(binary_path), binary_path
     res["binary_mb"] = round(os.path.getsize(binary_path) / 1e6, 1)

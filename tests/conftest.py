@@ -48,6 +48,7 @@ _SLOW_MODULES = {
     "test_fused_field_vjp",
     "test_full_renderer",
     "test_convert_full_ckpt",
+    "test_sync_scorer",
 }
 
 
