@@ -701,20 +701,37 @@ def stage_lmd(args):
         return optax.apply_updates(params, upd), opt, loss
 
     predict = jax.jit(det.apply)
-    rng = np.random.RandomState(0)
+    # multi-step training dispatch: the per-iter host loop is tunnel-
+    # dispatch-bound on TPU (~0.22 s/iter measured); keep the dataset
+    # device-resident and scan CHUNK steps per dispatch instead
+    Xd, Yd, Md = jnp.asarray(X), jnp.asarray(Y), jnp.asarray(M)
+    CHUNK = 100
+
+    @jax.jit
+    def step_multi(params, opt, key):
+        def body(carry, k):
+            params, opt = carry
+            ki = jax.random.fold_in(key, k)
+            idx = jax.random.randint(jax.random.fold_in(ki, 1), (16,), 0, len(X))
+            params, opt, loss = step(params, opt, Xd[idx], Yd[idx], Md[idx], ki)
+            return (params, opt), loss
+
+        (params, opt), losses = jax.lax.scan(
+            body, (params, opt), jnp.arange(CHUNK))
+        return params, opt, losses[-1]
+
     key = jax.random.PRNGKey(1)
     t0 = time.time()
-    for it in range(args.iters):
-        idx = rng.randint(0, len(X), size=16)
+    for it0 in range(0, args.iters, CHUNK):
         key, sub = jax.random.split(key)
-        params, opt, loss = step(params, opt, jnp.asarray(X[idx]), jnp.asarray(Y[idx]),
-                                 jnp.asarray(M[idx]), sub)
-        if (it + 1) % 500 == 0:
+        params, opt, loss = step_multi(params, opt, sub)
+        it = it0 + CHUNK
+        if it % 500 == 0:
             pv = predict(params, jnp.asarray(Xv))
             floor = float(jnp.mean(jnp.linalg.norm(
                 (pv.reshape(-1, 68, 2) - Yv.reshape(-1, 68, 2)) * 512.0, axis=-1)))
-            print(f"| it {it + 1} train_l1={float(loss):.4f} "
-                  f"val_floor={floor:.2f}px ({time.time() - t0:.0f}s)")
+            print(f"| it {it} train_l1={float(loss):.4f} "
+                  f"val_floor={floor:.2f}px ({time.time() - t0:.0f}s)", flush=True)
     path = _detector_path(arch)
     os.makedirs(os.path.dirname(path), exist_ok=True)
     with open(path, "wb") as f:
