@@ -463,6 +463,7 @@ def stage_eval_a2m(args):
            "postnet": bool(postnet_dir),
            "audio_driven_psnr_512": round(float(np.mean(psnrs)), 2)}
     res = _lmd_report(res, frames, gts, lms)
+    res = _sync_report(res, frames, batch["hubert"], lms)
     if args.clip:
         from genefaceplusplus_tpu.data.video import StreamingVideoWriter
 
@@ -767,6 +768,90 @@ def detect_lmd(frames_u8, gt_lms, arch: str = "v1", per_landmark: bool = False,
     err = np.linalg.norm((pred - gt) * 512.0, axis=-1)  # [N, 68]
     res = err if per_landmark else float(np.mean(err))
     return (res, conf) if with_conf and arch == "v2" else res
+
+
+def detect_lms(frames_u8, arch: str = "v2") -> "np.ndarray":
+    """Detector-predicted landmarks [N, 68, 2] in [0,1] for rendered frames
+    — feeds the sync-confidence instrument (metrics/sync_scorer.py)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from flax import serialization
+
+    det = _detector_for(arch)
+    with open(_detector_path(arch), "rb") as f:
+        params = serialization.msgpack_restore(f.read())
+    X = jnp.asarray(np.stack([_to_det_input(f_) for f_ in frames_u8]))
+    return np.asarray(jax.jit(det.apply)(params, X)).reshape(-1, 68, 2)
+
+
+SYNC_SCORER = os.path.join(DATA_DIR, "sync_scorer.msgpack")
+
+
+def stage_train_sync(args):
+    """Train the lip-sync confidence instrument (metrics/sync_scorer.py) on
+    the identity's GT (audio, mouth-landmark) pairs — the in-repo analogue
+    of the externally pretrained Sync-conf/SyncNet the reference's paper
+    metrics rely on (README metric table; not downloadable here)."""
+    import jax
+
+    if not getattr(args, "tpu", False):
+        jax.config.update("jax_platforms", "cpu")
+    import numpy as np
+
+    from genefaceplusplus_tpu.metrics import sync_confidence, train_sync_scorer
+    from genefaceplusplus_tpu.metrics.sync_scorer import save_params
+
+    ds = np.load(DATA, allow_pickle=True).tolist()
+    hubert, f0 = _synth_audio_track()
+    samples = list(ds["train_samples"])
+    n_tr = len(samples)
+    lms = np.stack([s["lms"] for s in samples])  # [T, 68, 2] normalised
+    t0 = time.time()
+    params = train_sync_scorer(hubert[: 2 * n_tr], lms, steps=args.iters,
+                               log_every=500)
+    save_params(params, SYNC_SCORER)
+    # falsifiability report on the held-out tail
+    val = list(ds["val_samples"])
+    lms_v = np.stack([s["lms"] for s in val])
+    hub_v = hubert[2 * n_tr:]
+    aligned = sync_confidence(params, hub_v, lms_v)
+    rng = np.random.RandomState(0)
+    blocks = hub_v.reshape(-1, 2, hub_v.shape[-1])
+    hub_shuf = blocks[rng.permutation(len(blocks))].reshape(hub_v.shape)
+    shuffled = sync_confidence(params, hub_shuf, lms_v)
+    out = {"iters": args.iters, "t_s": round(time.time() - t0, 1),
+           "heldout_aligned": aligned["confidence"],
+           "heldout_offset": aligned["offset"],
+           "heldout_shuffled_control": shuffled["confidence"]}
+    print(json.dumps(out))
+    print(f"| sync scorer at {SYNC_SCORER}")
+
+
+def _sync_report(res: dict, renders, hubert_seg, gt_lms):
+    """Sync-confidence block for an eval: rendered frames scored via the
+    v2 detector's landmarks against the driving audio, with the GT-lms
+    ceiling and a shuffled-audio floor on the same window."""
+    if not (os.path.exists(SYNC_SCORER) and os.path.exists(DETECTOR2)):
+        return res
+    import numpy as np
+
+    from genefaceplusplus_tpu.metrics import sync_confidence
+    from genefaceplusplus_tpu.metrics.sync_scorer import load_params
+
+    params = load_params(SYNC_SCORER)
+    pred_lms = detect_lms(renders, arch="v2")
+    r = sync_confidence(params, hubert_seg, pred_lms)
+    res["sync_conf"] = r["confidence"]
+    res["sync_offset"] = r["offset"]
+    gt = sync_confidence(params, hubert_seg, np.asarray(gt_lms))
+    res["sync_conf_gt_ceiling"] = gt["confidence"]
+    rng = np.random.RandomState(0)
+    blocks = np.asarray(hubert_seg).reshape(-1, 2, np.asarray(hubert_seg).shape[-1])
+    shuf = blocks[rng.permutation(len(blocks))].reshape(np.asarray(hubert_seg).shape)
+    res["sync_conf_shuffled_floor"] = sync_confidence(
+        params, shuf, pred_lms)["confidence"]
+    return res
 
 
 def _lmd_report(res: dict, renders, gts, lms):
@@ -1165,6 +1250,9 @@ def main():
     ea.add_argument("--clip", type=str, default="")
     ea.add_argument("--frames", type=int, default=0)
     ea.add_argument("--postnet", action="store_true")
+    ts_ = sub.add_parser("train-sync")
+    ts_.add_argument("--iters", type=int, default=2000)
+    ts_.add_argument("--tpu", action="store_true")
     l = sub.add_parser("lmd")
     l.add_argument("--iters", type=int, default=3000)
     l.add_argument("--arch", type=str, default="v1", choices=["v1", "v2"])
@@ -1193,7 +1281,7 @@ def main():
     args = p.parse_args()
     {"gen": stage_gen, "measure": stage_measure, "train": stage_train,
      "train-torso": stage_train_torso, "train-a2m": stage_train_a2m,
-     "train-postnet": stage_train_postnet,
+     "train-postnet": stage_train_postnet, "train-sync": stage_train_sync,
      "eval-a2m": stage_eval_a2m, "lmd": stage_lmd,
      "lmd-remeasure": stage_lmd_remeasure, "eval": stage_eval,
      "eval-torso": stage_eval_torso, "parity": stage_parity}[args.stage](args)

@@ -22,7 +22,8 @@ assert jax.default_backend() == "cpu", jax.default_backend()
 # invocations) skip recompiles
 import os as _os
 
-_cache = _os.path.join("/tmp", "jax_test_cache")
+_cache = _os.environ.get("JAX_TEST_CACHE_OVERRIDE",
+                         _os.path.join("/tmp", "jax_test_cache"))
 _os.makedirs(_cache, exist_ok=True)
 jax.config.update("jax_compilation_cache_dir", _cache)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
