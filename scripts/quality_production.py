@@ -936,6 +936,72 @@ def stage_lmd_remeasure(args):
 
 
 # ---------------------------------------------------------------- eval
+def stage_eval_curve(args):
+    """Milestone PSNR/LMD curve over every retained checkpoint of a
+    variant's head+SR run (VERDICT r3 item 2: the budget-vs-quality curve
+    at the reference's own schedule scale, 10k milestones). One process:
+    dataset load + render compile amortised across all milestones."""
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import re
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from genefaceplusplus_tpu.training.trainer import _as_dict, _from_dict
+    from genefaceplusplus_tpu.utils.ckpt import (
+        get_all_ckpts, load_ckpt_file, restore_into)
+    from genefaceplusplus_tpu.utils.rays import pixel_rays
+
+    tr, va = _load_datasets()
+    task = _build_task(args.variant, 50_000, tr, va)
+    paths = sorted(get_all_ckpts(workdir(args.variant)),
+                   key=lambda p: int(re.findall(r"steps_(\d+)\.ckpt", p)[0]))
+    n_every = max(1, getattr(args, "every", 1))
+    H, W = va.H, va.W
+    max_frames = int(getattr(args, "frames", 0)) or len(va)
+    idxs = np.linspace(0, len(va) - 1, min(max_frames, len(va))).astype(int)
+    gts = [(va.load_image(int(i), "gt", full_res=True) * 255).astype(np.uint8)
+           for i in idxs]
+    lms = [va.samples[int(i)]["lms"] for i in idxs]
+    task.validate(task.create_state(), max_frames=1)  # build _jit_val_sr once
+    curve = []
+    for path in paths[::n_every]:
+        ckpt = load_ckpt_file(path)
+        state = _from_dict(task.create_state(),
+                           restore_into(_as_dict(task.create_state()),
+                                        ckpt["state_dict"]))
+        task.load_extra_state(ckpt.get("extra_state", {}))
+        step = int(ckpt["global_step"])
+        renders, psnrs = [], []
+        for i in idxs:
+            i = int(i)
+            pose = jnp.asarray(va.frame_pose(i)[None])
+            ro, rd, _ = pixel_rays(pose, va.intrinsics, H, W)
+            gid = max(0, min(int(va.frame_ids[i]),
+                             task.cfg.individual_embedding_num - 1))
+            sr = np.asarray(task._jit_val_sr(
+                state.params, ro[0], rd[0],
+                jnp.asarray(va.frame_cond_window(i)),
+                jnp.asarray(va.eye_area_percents[i:i + 1]),
+                jnp.asarray(gid, jnp.int32), task.occupancy,
+                jnp.asarray(np.asarray(_val_bg(va, i), np.float32).reshape(-1, 3))))
+            gt2x = gts[list(idxs).index(i)].astype(np.float32) / 255.0
+            mse = float(np.mean((sr - gt2x) ** 2))
+            psnrs.append(-10 * np.log10(max(mse, 1e-10)))
+            renders.append((np.clip(sr, 0, 1) * 255).astype(np.uint8))
+        row = {"step": step, "val_sr_psnr_512": round(float(np.mean(psnrs)), 2)}
+        row = _lmd_report(row, renders, gts, lms)
+        curve.append(row)
+        print(json.dumps(row), flush=True)
+    out = os.path.join(workdir(args.variant), "quality_curve.json")
+    with open(out, "w") as f:
+        json.dump(curve, f, indent=2)
+    print(f"| curve ({len(curve)} milestones) at {out}")
+
+
 def stage_eval(args):
     import jax
 
@@ -1261,6 +1327,12 @@ def main():
                         "to never contend with in-flight TPU runs)")
     lr = sub.add_parser("lmd-remeasure")
     lr.add_argument("--clip", type=str, required=True)
+    ec = sub.add_parser("eval-curve")
+    ec.add_argument("--variant", type=str, default="fourier")
+    ec.add_argument("--every", type=int, default=1,
+                    help="evaluate every Nth retained checkpoint")
+    ec.add_argument("--frames", type=int, default=0,
+                    help="cap val frames per milestone (0 = all)")
     e = sub.add_parser("eval")
     e.add_argument("--variant", type=str, required=True)
     e.add_argument("--clip", type=str, default="")
@@ -1284,7 +1356,8 @@ def main():
      "train-postnet": stage_train_postnet, "train-sync": stage_train_sync,
      "eval-a2m": stage_eval_a2m, "lmd": stage_lmd,
      "lmd-remeasure": stage_lmd_remeasure, "eval": stage_eval,
-     "eval-torso": stage_eval_torso, "parity": stage_parity}[args.stage](args)
+     "eval-torso": stage_eval_torso, "eval-curve": stage_eval_curve,
+     "parity": stage_parity}[args.stage](args)
 
 
 if __name__ == "__main__":

@@ -50,6 +50,7 @@ _SLOW_MODULES = {
     "test_full_renderer",
     "test_convert_full_ckpt",
     "test_sync_scorer",
+    "test_rehearse_pipeline",
 }
 
 
