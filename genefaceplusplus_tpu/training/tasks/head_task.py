@@ -501,6 +501,30 @@ class HeadNeRFTask:
 
             self._jit_val_render = jax.jit(val_fn)
 
+        # The tiledgrid encoder's full-frame gather graph is XLA-hostile at
+        # scale: 422 s compile at 128² and a TPU-worker crash at 256²
+        # (docs/QUALITY_PARITY.md render table). Render those frames in
+        # training-batch-sized ray chunks instead — the 16384-ray gather
+        # graph is the shape the train step already compiles and runs. The
+        # fourier flagship keeps the single-dispatch full-frame path.
+        chunk = getattr(self, "val_ray_chunk", None)
+        if chunk is None:
+            chunk = 16384 if self.cfg.grid_type in ("tiledgrid", "hashgrid") else 0
+
+        def _render_rgb(params, ro, rd, cond, eye, gid, occ, bg):
+            n = ro.shape[0]
+            if not chunk or n <= chunk:
+                return self._jit_val_render(params, ro, rd, cond, eye, gid,
+                                            occ, bg).rgb_map
+            parts = []
+            for s in range(0, n, chunk):
+                parts.append(self._jit_val_render(
+                    params, ro[s:s + chunk], rd[s:s + chunk], cond, eye, gid,
+                    occ, bg[s:s + chunk]).rgb_map)
+            return jnp.concatenate(parts, axis=0)
+
+        self._val_render_rgb = _render_rgb
+
         psnrs = []
         for i in range(min(max_frames, len(ds_val))):
             pose = jnp.asarray(ds_val.frame_pose(i)[None])
@@ -516,7 +540,7 @@ class HeadNeRFTask:
             # charge the whole torso region against the head model
             bg = ds_val.frame_bg_torso(i)
             bg = ds_val.bg_img if bg is None else bg
-            out = self._jit_val_render(
+            rgb = _render_rgb(
                 state.params, rays_o[0], rays_d[0], cond,
                 jnp.asarray(ds_val.eye_area_percents[i : i + 1]),
                 jnp.asarray(max(gid, 0), jnp.int32), self.occupancy,
@@ -530,7 +554,7 @@ class HeadNeRFTask:
                 vdir = os.path.join(save_dir, "validation_results")
                 os.makedirs(vdir, exist_ok=True)
                 img = native.pack_frame(
-                    np.asarray(out.rgb_map).reshape(ds_val.H, ds_val.W, 3)
+                    np.asarray(rgb).reshape(ds_val.H, ds_val.W, 3)
                 )
                 try:
                     import cv2
@@ -544,7 +568,7 @@ class HeadNeRFTask:
             gt = ds_val.load_image(i, "gt")
             if gt is None:
                 continue
-            mse = float(jnp.mean((out.rgb_map - gt.reshape(-1, 3)) ** 2))
+            mse = float(jnp.mean((rgb - gt.reshape(-1, 3)) ** 2))
             psnrs.append(-10.0 * np.log10(max(mse, 1e-10)))
         return {"val_psnr": float(np.mean(psnrs))} if psnrs else {}
 

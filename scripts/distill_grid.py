@@ -145,6 +145,28 @@ def task_validate_stub(task):
     task._jit_val_render = jax.jit(val_fn)
 
 
+def _ray_chunk(task) -> int:
+    """Tiledgrid full-frame gather graphs crash the TPU worker at 256²
+    (docs/QUALITY_PARITY.md); render those in training-batch-sized chunks.
+    The fourier student keeps the single-dispatch fast path (chunk=0)."""
+    return 16384 if task.cfg.grid_type in ("tiledgrid", "hashgrid") else 0
+
+
+def _render_rgb(task, params, ro, rd, cond, eye, gid, occ, bg):
+    import jax.numpy as jnp
+
+    chunk = _ray_chunk(task)
+    n = ro.shape[0]
+    if not chunk or n <= chunk:
+        return task._jit_val_render(params, ro, rd, cond, eye, gid, occ,
+                                    bg).rgb_map
+    parts = [task._jit_val_render(params, ro[s:s + chunk], rd[s:s + chunk],
+                                  cond, eye, gid, occ,
+                                  bg[s:s + chunk]).rgb_map
+             for s in range(0, n, chunk)]
+    return jnp.concatenate(parts, axis=0)
+
+
 def _render_split(task, state, ds, tag: str):
     import jax.numpy as jnp
     import numpy as np
@@ -161,12 +183,13 @@ def _render_split(task, state, ds, tag: str):
                          task.cfg.individual_embedding_num - 1))
         bg = ds.frame_bg_torso(i)
         bg = ds.bg_img if bg is None else bg
-        r = task._jit_val_render(
-            state.params, ro[0], rd[0], jnp.asarray(ds.frame_cond_window(i)),
+        rgb = _render_rgb(
+            task, state.params, ro[0], rd[0],
+            jnp.asarray(ds.frame_cond_window(i)),
             jnp.asarray(ds.eye_area_percents[i:i + 1]),
             jnp.asarray(gid, jnp.int32), task.occupancy,
             jnp.asarray(np.asarray(bg, np.float32).reshape(-1, 3)))
-        img = np.clip(np.asarray(r.rgb_map, np.float32).reshape(ds.H, ds.W, 3), 0, 1)
+        img = np.clip(np.asarray(rgb, np.float32).reshape(ds.H, ds.W, 3), 0, 1)
         out.append(np.round(img * 255).astype(np.uint8))
         if (i + 1) % 50 == 0:
             print(f"| {tag}: {i + 1}/{len(ds)} frames "
@@ -287,13 +310,13 @@ def stage_eval(args):
             bg = va.frame_bg_torso(i)
             bg = va.bg_img if bg is None else bg
             t0 = time.time()
-            r = task._jit_val_render(
-                state.params, ro[0], rd[0],
+            rgb = _render_rgb(
+                task, state.params, ro[0], rd[0],
                 jnp.asarray(va.frame_cond_window(i)),
                 jnp.asarray(va.eye_area_percents[i:i + 1]),
                 jnp.asarray(gid, jnp.int32), task.occupancy,
                 jnp.asarray(np.asarray(bg, np.float32).reshape(-1, 3)))
-            np.asarray(r.rgb_map)
+            np.asarray(rgb)
             if i:  # skip the compile call
                 times.append(time.time() - t0)
         return 1.0 / float(np.median(times))

@@ -157,3 +157,42 @@ def test_torso_validate_uses_heldout_split(monkeypatch):
     metrics = task.validate(state, max_frames=1)
     assert metrics and np.isfinite(metrics["val_psnr"])
     assert seen and all(d is task.val_dataset for d in seen)
+
+
+def test_head_validate_chunked_render_matches_full():
+    """Tiledgrid full-frame gather graphs are XLA-hostile at scale (422 s
+    compile at 128², TPU-worker crash at 256² — docs/QUALITY_PARITY.md), so
+    validate() renders tiledgrid frames in training-batch-sized ray chunks.
+    Rays are independent, so the chunked render must match the
+    single-dispatch one exactly."""
+    import jax.numpy as jnp
+
+    from genefaceplusplus_tpu.data.dataset import RADNeRFDataset, synthetic
+    from genefaceplusplus_tpu.models.radnerf import RADNeRFConfig
+    from genefaceplusplus_tpu.training.radnerf_task import TaskHParams
+    from genefaceplusplus_tpu.training.tasks.head_task import (
+        HeadNeRFTask,
+        HeadTaskConfig,
+    )
+
+    ds = RADNeRFDataset(synthetic(num_frames=8, H=16, W=16), split="train",
+                        smo_win_size=3, with_sr=False)
+    cfg = RADNeRFConfig(
+        grid_type="tiledgrid", grid_size=16, individual_embedding_num=16,
+        smo_win_size=3, hidden_dim_sigma=16, hidden_dim_ambient=16,
+        hidden_dim_color=16, geo_feat_dim=8)
+    task = HeadNeRFTask(ds, cfg, HeadTaskConfig(n_rays=64, max_steps=8,
+                                                num_coarse=8, num_samples=4),
+                        TaskHParams(), seed=0)
+    state = task.create_state()
+    task.occupancy = jnp.ones((16, 16, 16), bool)
+
+    # default for tiledgrid is chunked (16384) but the 256-ray frame fits in
+    # one chunk; force 4 chunks to exercise the split + concat path
+    task.val_ray_chunk = 64
+    v_chunked = task.validate(state, max_frames=2)
+    task.val_ray_chunk = 0
+    v_full = task.validate(state, max_frames=2)
+    assert np.isfinite(v_chunked["val_psnr"])
+    assert abs(v_chunked["val_psnr"] - v_full["val_psnr"]) < 1e-4, (
+        v_chunked, v_full)
