@@ -171,13 +171,24 @@ class Trainer:
         timeout = float(os.environ.get("GFPP_STALL_TIMEOUT_S", "1800"))
         self._heartbeat = time.time()
         self._watchdog_stop = threading.Event()
+        # Cold compiles are NOT stalls: the first train step and the first
+        # validation each block the host for minutes building a fresh graph
+        # (through the tunnel, remote compile adds RTT on top). A stall
+        # timeout tuned for steady-state step cadence (e.g. 600 s in a job
+        # chain) must not kill them, so those two events get a one-shot
+        # grace window of GFPP_COMPILE_TIMEOUT_S (default 2400; the round-4
+        # torso stage died at exactly this: rc=43 at 600 s of first-step
+        # compile with zero steps logged).
+        self._compile_allow_s = max(
+            timeout, float(os.environ.get("GFPP_COMPILE_TIMEOUT_S", "2400")))
+        self._allow_until = time.time() + self._compile_allow_s
         if timeout <= 0:
             return
 
         def _watch():
             while not self._watchdog_stop.wait(min(15.0, timeout / 4.0)):
                 idle = time.time() - self._heartbeat
-                if idle > timeout:
+                if idle > timeout and time.time() > self._allow_until:
                     self.logger.log(
                         f"| STALL: no step progress for {idle:.0f}s "
                         f"(> GFPP_STALL_TIMEOUT_S={timeout:.0f}) — device call "
@@ -218,6 +229,11 @@ class Trainer:
         t0 = time.time()
         for step in range(start_step, self.max_updates):
             self._heartbeat = time.time()
+            if step > start_step:
+                # at least one full step completed: the first-dispatch
+                # compile grace is over; steady-state cadence rules apply
+                # (the first-validation grant below re-arms it just-in-time)
+                self._allow_until = 0.0
             if self._preempted:
                 self.save(state, step)
                 self.logger.log(f"| preempted at step {step}; checkpoint saved, exiting")
@@ -247,6 +263,12 @@ class Trainer:
 
             if (step + 1) % self.val_check_interval == 0 or step + 1 == self.max_updates:
                 self._heartbeat = time.time()
+                if not getattr(self, "_first_val_done", False):
+                    # first validation compiles the full-frame render graph
+                    self._first_val_done = True
+                    self._allow_until = max(
+                        getattr(self, "_allow_until", 0.0),
+                        time.time() + getattr(self, "_compile_allow_s", 2400.0))
                 try:
                     val_metrics = task.validate(state, save_dir=self.work_dir)
                 except TypeError:  # tasks without render saving

@@ -85,3 +85,46 @@ def test_watchdog_disabled_by_zero(tmp_path, monkeypatch):
     state = trainer.fit(resume=False)
     assert int(state.global_step) == 2
     assert not any(t.name == "stall-watchdog" for t in threading.enumerate())
+
+
+_SLOW_COMPILE_SCRIPT = r"""
+import os, sys, time
+sys.path.insert(0, os.environ["REPO"])
+from tests.test_preemption import _task
+from genefaceplusplus_tpu.training.trainer import Trainer
+
+task = _task()
+orig_step = task.train_step
+first = [True]
+
+def slow_first_step(state, batch):
+    if first[0]:
+        first[0] = False
+        time.sleep(6)  # "cold compile": longer than the stall timeout
+    return orig_step(state, batch)
+
+task.train_step = slow_first_step
+trainer = Trainer(task, sys.argv[1], max_updates=4, val_check_interval=100,
+                  update_extra_interval=100, num_sanity_val_steps=0)
+state = trainer.fit(resume=False)
+assert int(state.global_step) == 4, state.global_step
+print("OK compile-grace")
+"""
+
+
+def test_first_step_compile_grace(tmp_path):
+    """A cold first-step compile longer than GFPP_STALL_TIMEOUT_S must NOT
+    trip the watchdog (round-4 chain regression: the torso stage was killed
+    at rc=43 after 600 s of first-step compile with zero steps logged). The
+    grace expires once a full step has completed — the wedge test above
+    pins that a mid-run stall still exits 43 under the same settings."""
+    env = dict(os.environ, REPO=os.path.dirname(os.path.dirname(__file__)),
+               GFPP_STALL_TIMEOUT_S="2", JAX_PLATFORMS="cpu",
+               JAX_COMPILATION_CACHE_DIR="/tmp/jax_test_cache",
+               JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS="0.5")
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    proc = subprocess.run(
+        [sys.executable, "-c", _SLOW_COMPILE_SCRIPT, str(tmp_path / "work")],
+        env=env, capture_output=True, text=True, timeout=600)
+    assert proc.returncode == 0, (proc.returncode, proc.stdout, proc.stderr)
+    assert "OK compile-grace" in proc.stdout
