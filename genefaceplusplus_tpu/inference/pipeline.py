@@ -679,9 +679,9 @@ class GeneFaceInfer:
                 aabb = make_aabb(cfg.bound)
                 nears, fars = raymarch.near_far_from_aabb(ro, rd, aabb, cfg.min_near)
                 occ_box = raymarch.occupancy_aabb(occupancy, cfg.bound)
-                t_entry = None
+                t_entry = t_exit = None
                 if opts.entry_mode == "probe":
-                    t_entry = raymarch.entry_depth_map(
+                    t_entry, t_exit = raymarch.entry_exit_depth_map(
                         ro, rd, occupancy, occ_box, cfg.bound, (H, W),
                         stride=opts.probe_stride,
                         coarse_factor=opts.probe_coarse_factor,
@@ -690,7 +690,8 @@ class GeneFaceInfer:
                     ro, rd, nears, fars, occ_box, bound=cfg.bound,
                     dt_gamma=opts.dt_gamma, max_steps=opts.max_steps,
                     num_samples=opts.num_samples, min_near=cfg.min_near,
-                    grid_size=occupancy.shape[0], t_entry=t_entry)
+                    grid_size=occupancy.shape[0], t_entry=t_entry,
+                    t_exit=t_exit)
                 return m.mask.sum()
 
             self._fn_cache[key] = jax.jit(live_count)

@@ -111,9 +111,12 @@ def render_rays(
 
     if opts.march_mode == "interval":
         occ_box = raymarch.occupancy_aabb(occupancy, bound)
-        t_entry = None
+        t_entry = t_exit = None
         if opts.entry_mode == "probe" and image_hw is not None:
-            t_entry = raymarch.entry_depth_map(
+            # entry AND exit: the marcher stretches the per-ray lattice over
+            # the probed occupied span, so the sample budget covers deep
+            # identities too (round-4 ghost-face fix, raymarch.py docstring)
+            t_entry, t_exit = raymarch.entry_exit_depth_map(
                 rays_o, rays_d, occupancy, occ_box, bound, image_hw,
                 stride=opts.probe_stride, coarse_factor=opts.probe_coarse_factor,
                 n_probe=opts.n_probe, min_near=min_near,
@@ -122,7 +125,7 @@ def render_rays(
             rays_o, rays_d, nears, fars, occ_box,
             bound=bound, dt_gamma=opts.dt_gamma, max_steps=opts.max_steps,
             num_samples=S, noise=noise, min_near=min_near,
-            grid_size=occupancy.shape[0], t_entry=t_entry,
+            grid_size=occupancy.shape[0], t_entry=t_entry, t_exit=t_exit,
         )
     else:
         m = raymarch.march_rays(

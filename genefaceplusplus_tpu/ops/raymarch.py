@@ -165,6 +165,84 @@ def probe_entry(
     return jnp.where(any_hit, jnp.maximum(t_first - probe_dt, t0), t0)
 
 
+def probe_entry_exit(
+    rays_o: jnp.ndarray,  # [Rc, 3]
+    rays_d: jnp.ndarray,  # [Rc, 3]
+    t0: jnp.ndarray,  # [Rc] probe start (occupied-AABB entry)
+    t1: jnp.ndarray,  # [Rc] probe end (occupied-AABB exit)
+    occ_coarse: jnp.ndarray,  # [h, h, h] bool (dilated coarse occupancy)
+    bound: float,
+    n_probe: int = 24,
+    probe_dt: Optional[float] = None,
+) -> tuple:
+    """(t_first, t_last) of the occupied probe span per ray.
+
+    Same lattice as probe_entry, plus the LAST occupied probe position (one
+    probe-step margin on each side). Rays with no probe hit fall back to the
+    full (t0, t1) slab — conservative: never tighter than AABB-only."""
+    h = occ_coarse.shape[0]
+    if probe_dt is None:
+        probe_dt = 2.0 * bound / h
+    steps = jnp.arange(n_probe, dtype=jnp.float32)
+    ts = t0[:, None] + steps[None, :] * probe_dt  # [Rc, P]
+    xyz = rays_o[:, None, :] + ts[..., None] * rays_d[:, None, :]
+    occ = occupancy_lookup(occ_coarse, jnp.clip(xyz, -bound, bound), bound)
+    hit = occ & (ts < t1[:, None])
+    any_hit = hit.any(axis=-1)
+    idx_first = jnp.argmax(hit, axis=-1).astype(jnp.float32)
+    # last hit: argmax over the reversed lattice
+    idx_last = (n_probe - 1) - jnp.argmax(hit[:, ::-1], axis=-1).astype(jnp.float32)
+    t_first = jnp.maximum(t0 + idx_first * probe_dt - probe_dt, t0)
+    t_last = jnp.minimum(t0 + idx_last * probe_dt + 2.0 * probe_dt, t1)
+    t_first = jnp.where(any_hit, t_first, t0)
+    t_last = jnp.where(any_hit, t_last, t1)
+    return t_first, t_last
+
+
+def entry_exit_depth_map(
+    rays_o: jnp.ndarray,  # [H*W, 3] image-ordered rays
+    rays_d: jnp.ndarray,  # [H*W, 3]
+    occupancy: jnp.ndarray,  # [G, G, G] bool fine occupancy
+    occ_aabb: jnp.ndarray,  # [6] from occupancy_aabb
+    bound: float,
+    image_hw: tuple,
+    stride: int = 4,
+    coarse_factor: int = 4,
+    n_probe: int = 24,
+    min_near: float = 0.05,
+) -> tuple:
+    """Per-ray (t_entry, t_exit) maps via the strided coarse-ray probe.
+
+    entry_depth_map's machinery extended with the occupied-span EXIT: the
+    entry map is 3x3 MIN-pooled (conservative: never later than any covered
+    fine ray's true entry) and the exit map 3x3 MAX-pooled (never earlier
+    than any covered fine ray's true exit). The pair drives the marcher's
+    adaptive per-ray lattice (march_rays_interval t_exit): S samples
+    stretched over exactly the occupied span — the fix for identities whose
+    occupied depth exceeds S*dt_min, where a fixed-dt lattice from t_entry
+    truncates the far side of the head (round-4 ghost-face root cause:
+    alpha collapsed 19x at the production S=10 budget on the trained
+    synth512 identity because its density lives 0.3-0.5 deep in a ~0.9-deep
+    occupied interval)."""
+    H, W = image_hw
+    ro = rays_o.reshape(H, W, 3)[::stride, ::stride].reshape(-1, 3)
+    rd = rays_d.reshape(H, W, 3)[::stride, ::stride].reshape(-1, 3)
+    hc, wc = H // stride, W // stride
+    n2, f2 = near_far_from_aabb(ro, rd, occ_aabb, min_near)
+    occ_coarse = coarsen_occupancy(occupancy, coarse_factor, dilate=True)
+    t_first, t_last = probe_entry_exit(ro, rd, n2, f2, occ_coarse, bound,
+                                       n_probe=n_probe)
+    ent = t_first.reshape(1, hc, wc, 1)
+    ent = -jax.lax.reduce_window(
+        -ent, -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 1, 1, 1), "SAME")
+    ext = t_last.reshape(1, hc, wc, 1)
+    ext = jax.lax.reduce_window(
+        ext, -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 1, 1, 1), "SAME")
+    up = lambda m: jnp.repeat(jnp.repeat(m[0, ..., 0], stride, axis=0),
+                              stride, axis=1).reshape(H * W)
+    return up(ent), up(ext)
+
+
 def entry_depth_map(
     rays_o: jnp.ndarray,  # [H*W, 3] image-ordered rays
     rays_d: jnp.ndarray,  # [H*W, 3]
@@ -222,18 +300,27 @@ def march_rays_interval(
     noise: Optional[jnp.ndarray] = None,
     min_near: float = 0.05,
     grid_size: int = 128,
-    t_entry: Optional[jnp.ndarray] = None,  # [R] from entry_depth_map
+    t_entry: Optional[jnp.ndarray] = None,  # [R] from entry(_exit)_depth_map
+    t_exit: Optional[jnp.ndarray] = None,  # [R] from entry_exit_depth_map
 ) -> MarchResult:
     """Gather-free marching: intersect each ray with the occupied-region AABB
-    and place `num_samples` fixed-dt lattice samples from the entry point.
+    and place `num_samples` lattice samples over the occupied interval.
 
     TPU-native trade (docs/DESIGN.md): the per-cell occupancy test of the
     reference marcher exists to SKIP empty space; a tight entry interval +
-    the production sample budget (S=16 at dt=2*sqrt(3)/H, spanning ~0.43)
-    covers the same occupied depth range, and in-box empty cells simply
-    contribute sigma~0 (that is what the density threshold enforces). Zero
-    gathers, zero sorts.
-    """
+    the production sample budget covers the same occupied depth range, and
+    in-box empty cells simply contribute sigma~0 (that is what the density
+    threshold enforces). Zero gathers, zero sorts.
+
+    Lattice spacing: fixed dt_min from t0 when only t_entry is known (the
+    historical path — correct while the occupied span <= S*dt_min). When
+    t_exit is also given (probe prepass, entry_exit_depth_map), the per-ray
+    spacing ADAPTS: dt_ray = max(dt_min, (t_exit-t0)/S), so the S samples
+    always span the whole probed occupied interval. Compositing stays exact
+    under varying dt because alpha = 1-exp(-sigma*delta) uses the true
+    per-sample delta. This is the fix for the round-4 ghost face: a
+    fixed-dt S=10 lattice covered 0.31 of a ~0.9-deep occupied interval
+    and missed the density entirely."""
     R = rays_o.shape[0]
     dt_min, dt_max = step_size(grid_size, 1, max_steps)
     n2, f2 = near_far_from_aabb(rays_o, rays_d, occ_aabb, min_near)
@@ -247,15 +334,20 @@ def march_rays_interval(
     # the slab test cannot distinguish from its mirror — mask it explicitly
     empty = jnp.any(occ_aabb[:3] > occ_aabb[3:])
     t1 = jnp.where(empty, t0, t1)
+    if t_exit is not None:
+        te = jnp.clip(t_exit, t0, t1)
+        dt_ray = jnp.maximum((te - t0) / float(num_samples), dt_min)[:, None]
+    else:
+        dt_ray = jnp.full((R, 1), dt_min, rays_o.dtype)
     if noise is not None:
-        t0 = t0 + dt_min * noise
+        t0 = t0 + dt_ray[:, 0] * noise
     steps = jnp.arange(num_samples, dtype=jnp.float32)
-    t_start = t0[:, None] + steps[None, :] * dt_min  # [R, S]
-    t_end = t_start + dt_min
+    t_start = t0[:, None] + steps[None, :] * dt_ray  # [R, S]
+    t_end = t_start + dt_ray
     mask = t_start < t1[:, None]
     xyz = rays_o[:, None, :] + t_start[..., None] * rays_d[:, None, :]
     xyz = jnp.clip(xyz, -bound, bound)
-    deltas = jnp.full_like(t_start, dt_min)
+    deltas = jnp.broadcast_to(dt_ray, t_start.shape)
     return MarchResult(xyzs=xyz, deltas=deltas, ts=t_end, mask=mask)
 
 

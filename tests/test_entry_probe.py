@@ -63,17 +63,24 @@ def test_probe_entry_is_conservative():
     assert np.median(gap) < 4.5 * (2.0 * bound / (G // 4)), float(np.median(gap))
 
 
-def test_probe_render_matches_production_budget():
-    """Probe entry at S=12 == production interval marching at S=16.
+def test_probe_render_matches_high_budget_ground_truth():
+    """Adaptive probed-interval render at S in {10, 12} vs an S=128 reference.
 
-    The probe tightens the window start by >= 4 fine steps of slack
-    (dilation + probe-lattice margin), so a 12-sample window from the probed
-    entry covers the same occupied depth range as 16 samples from the
-    occupied-AABB entry. Measured identical on every seed (ws_sum gap == 0
-    at p99; PSNR between the two renders > 45 dB). S=10 trims further and is
-    validated on trained identities (single connected geometry) rather than
-    here — adversarial multi-blob scenes have depth discontinuities larger
-    than any fixed budget.
+    Round-4 ghost-face postmortem: the old fixed-dt lattice from t_entry
+    covered only S*dt_min of depth, so identities whose occupied span is
+    deeper (the trained synth512 head spans ~0.9) lost their density
+    entirely — weights_sum collapsed 19x and the face rendered translucent
+    (docs/DESIGN.md round-5 log). The fix (entry_exit_depth_map +
+    march_rays_interval t_exit): stretch the S samples adaptively over the
+    probed occupied span. This test grades the fix against a 128-sample
+    fixed-dt reference (which always covers the span at G=64):
+
+    - OPACITY is the product property that broke: mean weights_sum must match
+      the reference to <1% relative, p99 per-ray gap < 0.05 even on
+      adversarial multi-blob scenes with depth discontinuities.
+    - RGB is quadrature-limited on sigma step functions (worst case); the
+      smooth trained fields do far better. Floor: 28 dB vs the reference
+      (measured 31-38 dB across seeds).
     """
     from genefaceplusplus_tpu.models.renderer import RenderOptions, render_rays
 
@@ -89,20 +96,26 @@ def test_probe_render_matches_production_budget():
             amb = jnp.zeros((xyz.shape[0], 2))
             return sigma, rgb, amb
 
-        base = render_rays(
+        gt = render_rays(
             field_fn, ro, rd, occ, bound=1.0, min_near=0.05, bg_color=1.0,
-            opts=RenderOptions(num_samples=16, march_mode="interval"),
+            opts=RenderOptions(num_samples=128, march_mode="interval"),
         )
-        probe = render_rays(
-            field_fn, ro, rd, occ, bound=1.0, min_near=0.05, bg_color=1.0,
-            opts=RenderOptions(num_samples=12, march_mode="interval",
-                               entry_mode="probe", n_probe=32),
-            image_hw=(H, W),
-        )
-        a = np.asarray(base.rgb_map)
-        b = np.asarray(probe.rgb_map)
-        mse = float(((a - b) ** 2).mean())
-        psnr = 10.0 * np.log10(1.0 / max(mse, 1e-12))
-        assert psnr > 45.0, (seed, psnr)
-        ws_gap = np.abs(np.asarray(base.weights_sum) - np.asarray(probe.weights_sum))
-        assert float(np.quantile(ws_gap, 0.99)) < 0.02, (seed, float(np.quantile(ws_gap, 0.99)))
+        g = np.asarray(gt.rgb_map)
+        ws_gt = np.asarray(gt.weights_sum)
+        for S in (12, 10):
+            probe = render_rays(
+                field_fn, ro, rd, occ, bound=1.0, min_near=0.05, bg_color=1.0,
+                opts=RenderOptions(num_samples=S, march_mode="interval",
+                                   entry_mode="probe", n_probe=32),
+                image_hw=(H, W),
+            )
+            ws = np.asarray(probe.weights_sum)
+            rel = abs(float(ws.mean()) - float(ws_gt.mean())) / max(float(ws_gt.mean()), 1e-9)
+            assert rel < 0.01, (seed, S, rel)
+            ws_gap = np.abs(ws_gt - ws)
+            assert float(np.quantile(ws_gap, 0.99)) < 0.05, (
+                seed, S, float(np.quantile(ws_gap, 0.99)))
+            a = np.asarray(probe.rgb_map)
+            mse = float(((a - g) ** 2).mean())
+            psnr = 10.0 * np.log10(1.0 / max(mse, 1e-12))
+            assert psnr > 28.0, (seed, S, psnr)
