@@ -200,6 +200,13 @@ def bench_trained(n_frames: int = 50):
     weights, and the auto-crop sizing (the biggest fps lever) is the
     scene-dependent part.
 
+    Frames run in BENCH_TRAINED_CHUNK-sized device dispatches (default 10):
+    the round-4 single 50-frame scan on the crop-refused full-frame identity
+    SIGILLed the XLA TPU compiler (MainFusionOptimize, BENCH_r04.json); the
+    chunked graph is the shape the streaming pipeline already compiles and
+    runs (inference/serving.py frames_per_dispatch). Per-dispatch tunnel RTT
+    is subtracted per chunk, same as bench_full subtracts it per scan.
+
     Returns None when the trained artifacts (checkpoint dirs + binarized
     dataset) are absent — the caller then falls back to the synthetic scene.
     BENCH_TRAINED=0 forces the synthetic scene; BENCH_CKPT_HEAD /
@@ -237,13 +244,16 @@ def bench_trained(n_frames: int = 50):
     # production inference budget (pipeline.forward_secc2video defaults)
     opts = RenderOptions(num_coarse=48, num_samples=10, T_thresh=1e-2,
                          march_mode="interval", entry_mode="probe")
-    chunk_fn = infer._build_chunk_fn(opts, H, W, n_frames,
+    chunk = max(1, min(int(os.environ.get("BENCH_TRAINED_CHUNK", "10")), n_frames))
+    n_frames = (n_frames // chunk) * chunk
+    chunk_fn = infer._build_chunk_fn(opts, H, W, chunk,
                                      head_crop=infer.head_crop,
                                      torso_crop=infer.torso_crop,
                                      sr_crop=infer.sr_crop, out_dtype="uint8")
+    scene_class = ("cropped" if infer.head_crop is not None else "fullframe")
     print(f"| bench_trained: head={head_dir} torso={'yes' if tckpt else 'no'} "
           f"head_crop={infer.head_crop} torso_crop={infer.torso_crop} "
-          f"sr_crop={'on' if infer.sr_crop else None}", flush=True)
+          f"sr_crop={'on' if infer.sr_crop else None} chunk={chunk}", flush=True)
 
     idxs = [i % len(ds) for i in range(n_frames)]
     poses = jnp.asarray(np.stack([ds.frame_pose(i) for i in idxs]))
@@ -259,19 +269,24 @@ def bench_trained(n_frames: int = 50):
     # fetching the [C, 512, 512, 3] frame stack would time the tunnel
     # downlink, not the chip — bench_full's methodology
     @jax.jit
-    def run(cond):
+    def run(cond_c, ro_c, rd_c, eye_c, lm_c):
         imgs, _ = chunk_fn(infer.head_params, infer.torso_params,
-                           infer.sr_params, ro, rd, cond, eye,
-                           infer.occupancy, bg_color, bg_coords, lm68)
+                           infer.sr_params, ro_c, rd_c, cond_c, eye_c,
+                           infer.occupancy, bg_color, bg_coords, lm_c)
         return imgs.astype(jnp.float32).sum()
 
-    float(run(cond))  # compile
-    best = float("inf")
-    for k in (1, 2, 3, 4, 5):  # vary cond: the tunnel memoizes identical dispatches
-        t0 = time.perf_counter()
-        float(run(cond + 1e-3 * k))
-        best = min(best, time.perf_counter() - t0 - _tunnel_rtt())
-    return n_frames / best, "full_pipeline_fps_512_trained"
+    def sweep(dk):
+        tot = 0.0
+        for s in range(0, n_frames, chunk):
+            sl = slice(s, s + chunk)
+            t0 = time.perf_counter()
+            float(run(cond[sl] + dk, ro[sl], rd[sl], eye[sl], lm68[sl]))
+            tot += max(time.perf_counter() - t0 - _tunnel_rtt(), 0.0)
+        return tot
+
+    sweep(0.0)  # compile (one graph: every chunk has the same shape)
+    best = min(sweep(1e-3 * k) for k in (1, 2, 3, 4, 5))
+    return n_frames / best, "full_pipeline_fps_512_trained", scene_class
 
 
 def bench_head(n_frames: int = 25):
@@ -446,7 +461,69 @@ def _start_watchdog() -> None:
     t.start()
 
 
+def _fps_record(fps: float, metric: str, **extra) -> dict:
+    # raw (unadjusted) fps: add the measured per-dispatch RTT back onto the
+    # best chunk time — the number a local-chip deployment would see is the
+    # adjusted one; the raw one is what THIS tunnel-attached run observed
+    rtt = _tunnel_rtt()
+    n = 50 if metric.startswith("full_pipeline") else 25
+    raw_fps = n / (n / fps + rtt)
+    rec = {
+        "metric": metric,
+        "value": round(fps, 2),
+        "unit": "fps",
+        "vs_baseline": round(fps / 25.0, 3),
+        "tunnel_rtt_ms": round(rtt * 1e3, 1),
+        "raw_fps_incl_dispatch": round(raw_fps, 2),
+    }
+    rec.update(extra)
+    return rec
+
+
+def _trained_subprocess() -> dict:
+    """Run the trained-checkpoint leg in a bounded subprocess so a compiler
+    crash (the round-4 SIGILL) or a hang degrades to a labeled fallback
+    instead of killing the whole bench (VERDICT r4 item 2)."""
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env["BENCH_INNER_TRAINED"] = "1"
+    timeout_s = float(os.environ.get("BENCH_TRAINED_TIMEOUT_S", "1800"))
+    try:
+        proc = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                              env=env, timeout=timeout_s, capture_output=True)
+    except subprocess.TimeoutExpired:
+        return {"error": f"timeout after {timeout_s:.0f}s"}
+    if proc.stdout:
+        for line in reversed(proc.stdout.decode(errors="replace").splitlines()):
+            line = line.strip()
+            if line.startswith("{"):
+                try:
+                    return json.loads(line)
+                except Exception:
+                    break
+    tail = (proc.stderr or b"").decode(errors="replace")[-600:]
+    return {"error": f"rc={proc.returncode}: {tail}"}
+
+
 def main():
+    if os.environ.get("BENCH_INNER_TRAINED") == "1":
+        # child process: trained leg only, full JSON record on stdout
+        _start_watchdog()
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ.get("JAX_CACHE_DIR", "/tmp/jax_bench_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        res = bench_trained()
+        if res is None:
+            print(json.dumps({"skipped": True}))
+            return
+        fps, metric, scene_class = res
+        print(json.dumps(_fps_record(fps, metric, scene=scene_class)))
+        return
+
     _probe_device()
     _start_watchdog()
     # persistent compile cache: the axon tunnel remote-compiles each new
@@ -457,12 +534,12 @@ def main():
     jax.config.update("jax_compilation_cache_dir",
                       os.environ.get("JAX_CACHE_DIR", "/tmp/jax_bench_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    # failures must be loud: no fallback — if the full pipeline bench breaks
-    # the driver must see the traceback, not a mislabeled head-only number
     mode = os.environ.get("BENCH_MODE", "full")
     if mode == "head":
         fps, metric = bench_head()
-    elif mode == "train":
+        print(json.dumps(_fps_record(fps, metric)))
+        return
+    if mode == "train":
         # aux mode: the reference publishes no steps/s; vs_baseline reports
         # the implied full-schedule speedup proxy (250k steps / 8h A100-ish
         # assumption is NOT available, so we report hours for 250k steps
@@ -474,26 +551,23 @@ def main():
                "train_mfu_f32": mfu}
         print(json.dumps(out))
         return
-    else:
-        res = bench_trained()
-        if res is not None:
-            fps, metric = res
-        else:
-            fps, metric = bench_full()
-    # raw (unadjusted) fps: add the measured per-dispatch RTT back onto the
-    # best chunk time — the number a local-chip deployment would see is the
-    # adjusted one; the raw one is what THIS tunnel-attached run observed
-    rtt = _tunnel_rtt()
-    n = 50 if metric.startswith("full_pipeline") else 25
-    raw_fps = n / (n / fps + rtt)
-    print(json.dumps({
-        "metric": metric,
-        "value": round(fps, 2),
-        "unit": "fps",
-        "vs_baseline": round(fps / 25.0, 3),
-        "tunnel_rtt_ms": round(rtt * 1e3, 1),
-        "raw_fps_incl_dispatch": round(raw_fps, 2),
-    }))
+    # default: trained-checkpoint leg in an isolated subprocess, synthetic
+    # scene as the labeled fallback — the driver always gets a number AND
+    # a loud record of any trained-leg failure
+    trained = None
+    if os.environ.get("BENCH_TRAINED", "1") != "0":
+        trained = _trained_subprocess()
+    if trained and trained.get("value"):
+        print(json.dumps(trained))
+        return
+    fps, metric = bench_full()
+    scene = os.environ.get("BENCH_SCENE", "head")
+    extra = {"scene": "cropped" if scene != "fullframe" else "fullframe"}
+    if trained is not None and "error" in trained:
+        extra["trained_path"] = f"crashed: {trained['error']}"
+    elif trained is not None and trained.get("skipped"):
+        extra["trained_path"] = "skipped: no trained artifacts"
+    print(json.dumps(_fps_record(fps, metric, **extra)))
 
 
 if __name__ == "__main__":
