@@ -514,14 +514,28 @@ class HeadNeRFTask:
         def _render_rgb(params, ro, rd, cond, eye, gid, occ, bg):
             n = ro.shape[0]
             if not chunk or n <= chunk:
+                beat = getattr(self, "_trainer_heartbeat", None)
+                if beat is not None:
+                    beat()
                 return self._jit_val_render(params, ro, rd, cond, eye, gid,
                                             occ, bg).rgb_map
+            # pad to a chunk multiple: a ragged final slice would compile a
+            # SECOND XLA graph shape — the exact compile cost the chunking
+            # exists to avoid (advisor r4; harmless dup rays, sliced off)
+            pad = (-n) % chunk
+            if pad:
+                ro = jnp.concatenate([ro, ro[-pad:]], axis=0)
+                rd = jnp.concatenate([rd, rd[-pad:]], axis=0)
+                bg = jnp.concatenate([bg, bg[-pad:]], axis=0)
             parts = []
-            for s in range(0, n, chunk):
+            for s in range(0, n + pad, chunk):
+                beat = getattr(self, "_trainer_heartbeat", None)
+                if beat is not None:
+                    beat()  # long warm validations must not trip the stall watchdog
                 parts.append(self._jit_val_render(
                     params, ro[s:s + chunk], rd[s:s + chunk], cond, eye, gid,
                     occ, bg[s:s + chunk]).rgb_map)
-            return jnp.concatenate(parts, axis=0)
+            return jnp.concatenate(parts, axis=0)[:n]
 
         self._val_render_rgb = _render_rgb
 

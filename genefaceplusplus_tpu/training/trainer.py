@@ -263,6 +263,11 @@ class Trainer:
 
             if (step + 1) % self.val_check_interval == 0 or step + 1 == self.max_updates:
                 self._heartbeat = time.time()
+                # let the task bump the heartbeat per rendered frame/chunk:
+                # a warm validation longer than the stall timeout must not
+                # be killed mid-render (advisor r4)
+                task._trainer_heartbeat = lambda: setattr(
+                    self, "_heartbeat", time.time())
                 if not getattr(self, "_first_val_done", False):
                     # first validation compiles the full-frame render graph
                     self._first_val_done = True

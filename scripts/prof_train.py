@@ -213,9 +213,9 @@ def main():
             balance = peak * 1e12 / (peak_bw * 1e9)  # flop/byte at the ridge
             out["machine_balance_flop_per_byte"] = round(balance, 1)
             out["hbm_util"] = round(achieved_gbs / peak_bw, 4)
-            out["bound"] = ("bandwidth" if ai < balance else "compute",
-                            f"AI {ai:.1f} vs ridge {balance:.1f}; "
-                            f"HBM {achieved_gbs / peak_bw:.0%} vs MFU {mfu:.0%}")
+            out["bound"] = "bandwidth" if ai < balance else "compute"
+            out["bound_detail"] = (f"AI {ai:.1f} vs ridge {balance:.1f}; "
+                                   f"HBM {achieved_gbs / peak_bw:.0%} vs MFU {mfu:.0%}")
     print(json.dumps(out))
 
 

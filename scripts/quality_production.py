@@ -474,9 +474,12 @@ def stage_eval_a2m(args):
            "frames_renderer_heldout": len(strict),
            "held_out_start": s, "temperature": 0.0,
            "postnet": bool(postnet_dir),
-           "audio_driven_psnr_512": round(float(np.mean(psnrs)), 2),
-           "audio_driven_psnr_512_strict": round(float(np.mean(
-               [psnrs[i] for i in strict])), 2) if strict else None}
+           # headline = strict subset (renderer-held-out frames only), the
+           # semantics every earlier round reported; the full-window mean
+           # includes renderer-seen frames and is a separate, named key
+           "audio_driven_psnr_512": round(float(np.mean(
+               [psnrs[i] for i in strict])), 2) if strict else None,
+           "audio_driven_psnr_512_fullwindow": round(float(np.mean(psnrs)), 2)}
     res = _lmd_report(res, frames, gts, lms)
     res = _sync_report(res, frames, batch["hubert"], lms)
     if args.clip:
@@ -525,95 +528,19 @@ def stage_measure(args):
 
 
 # ------------------------------------------------------------ LMD probe
-def _detector():
-    import flax.linen as nn
-
-    class LMDetector(nn.Module):
-        @nn.compact
-        def __call__(self, x):  # [B, 128, 128, 3] in [0,1]
-            for w in (32, 64, 128, 256):
-                x = nn.relu(nn.Conv(w, (3, 3), strides=(2, 2))(x))
-                x = nn.relu(nn.Conv(w, (3, 3))(x))
-            x = x.reshape(x.shape[0], -1)  # 8*8*256
-            x = nn.relu(nn.Dense(256)(x))
-            return nn.Dense(136)(x)  # normalised (x, y) * 68
-
-    return LMDetector()
-
-
-def _detector_v2(return_conf: bool = False):
-    """Heatmap + spatial soft-argmax landmark head (the v2 instrument).
-
-    v1 regresses 136 coords from an 8x8 bottleneck — its ~5.5 px floor at
-    512 is the head's quantisation, not the data's. v2 is the standard
-    landmark-precision fix: a light U-Net decodes back to a 32x32 map, a
-    1x1 conv emits one heatmap per landmark, and spatial soft-argmax reads
-    out sub-cell coordinates (differentiable, trained end-to-end with the
-    same coordinate L1). A per-model 2x2 linear calibration (init identity)
-    absorbs any axis convention mismatch between heatmap (col,row) order
-    and the dataset's landmark layout instead of hard-coding it."""
-    import flax.linen as nn
-    import jax
-    import jax.numpy as jnp
-
-    class LMDetectorV2(nn.Module):
-        return_conf: bool = False
-
-        @nn.compact
-        def __call__(self, x):  # [B, 128, 128, 3] in [0,1]
-            skips = {}
-            for res, ch in ((64, 32), (32, 64), (16, 128), (8, 256)):
-                x = nn.relu(nn.Conv(ch, (3, 3), strides=(2, 2))(x))
-                x = nn.relu(nn.Conv(ch, (3, 3))(x))
-                skips[res] = x
-            x = nn.relu(nn.ConvTranspose(128, (3, 3), strides=(2, 2))(x) + skips[16])
-            x = nn.relu(nn.Conv(128, (3, 3))(x))
-            x = nn.relu(nn.ConvTranspose(64, (3, 3), strides=(2, 2))(x) + skips[32])
-            x = nn.relu(nn.Conv(64, (3, 3))(x))
-            h = nn.Conv(68, (1, 1))(x)  # [B, 32, 32, 68] logits
-            temp = self.param("softargmax_temp", lambda k: jnp.asarray(10.0))
-            B, Hh, Wh, L = h.shape
-            probs = jax.nn.softmax((h * temp).reshape(B, Hh * Wh, L), axis=1)
-            cell = (jnp.arange(Hh, dtype=jnp.float32) + 0.5)
-            rows = jnp.repeat(cell / Hh, Wh)      # [Hh*Wh] normalised row
-            cols = jnp.tile(cell / Wh, Hh)        # [Hh*Wh] normalised col
-            r = jnp.einsum("bpl,p->bl", probs, rows)
-            c = jnp.einsum("bpl,p->bl", probs, cols)
-            raw = jnp.stack([c, r], axis=-1)      # [B, 68, 2] (col=x-ish, row=y-ish)
-            W = self.param("calib_w", lambda k: jnp.eye(2))
-            b = self.param("calib_b", lambda k: jnp.zeros((2,)))
-            out = (raw @ W + b).reshape(B, 136)
-            if self.return_conf:
-                # heatmap peakedness per landmark: a soft-argmax over a
-                # DIFFUSE map collapses to the image centroid and reads as
-                # O(100 px) error on out-of-distribution input (observed on
-                # the pre-fix audio-driven eval). Peak prob ~ 1/(Hh*Wh)
-                # means "no detection"; confident peaks are >> that.
-                return out, probs.max(axis=1)  # [B, 136], [B, 68]
-            return out
-
-    return LMDetectorV2(return_conf=return_conf)
-
-
-def _detector_for(arch: str, return_conf: bool = False):
-    return _detector() if arch == "v1" else _detector_v2(return_conf)
+# Detector models + measurement API live in the package
+# (genefaceplusplus_tpu/metrics/lmd.py); this script owns training (needs
+# the synthetic dataset + augmentation pool) and binds the on-disk
+# detector paths.
+from genefaceplusplus_tpu.metrics.lmd import (  # noqa: E402
+    lm_detector as _detector_for,
+    to_detector_input as _to_det_input,
+)
+from genefaceplusplus_tpu.metrics import lmd as _lmd  # noqa: E402
 
 
 def _detector_path(arch: str) -> str:
     return DETECTOR if arch == "v1" else DETECTOR2
-
-
-def _to_det_input(img_u8):
-    """512² (or any) uint8/float frame -> [128,128,3] float in [0,1]."""
-    import cv2
-    import numpy as np
-
-    img = np.asarray(img_u8)
-    if img.dtype == np.uint8:
-        img = img.astype(np.float32) / 255.0
-    if img.shape[0] != 128:
-        img = cv2.resize(img, (128, 128))
-    return img[..., :3]
 
 
 def stage_lmd(args):
@@ -758,46 +685,14 @@ def stage_lmd(args):
 
 def detect_lmd(frames_u8, gt_lms, arch: str = "v1", per_landmark: bool = False,
                with_conf: bool = False):
-    """Mean landmark distance (px at 512) of detector(render) vs GT lms.
-
-    With per_landmark=True returns the [N, 68] error matrix instead of the
-    scalar mean — for region breakdowns (jawline vs inner face vs mouth).
-    With with_conf=True (v2 only) also returns the [N, 68] heatmap peak
-    probability — the instrument-validity signal (see LMDetectorV2)."""
-    import jax
-    import jax.numpy as jnp
-    import numpy as np
-    from flax import serialization
-
-    det = _detector_for(arch, return_conf=with_conf and arch == "v2")
-    with open(_detector_path(arch), "rb") as f:
-        params = serialization.msgpack_restore(f.read())
-    X = jnp.asarray(np.stack([_to_det_input(f_) for f_ in frames_u8]))
-    out = jax.jit(det.apply)(params, X)
-    conf = None
-    if with_conf and arch == "v2":
-        out, conf = out
-        conf = np.asarray(conf)
-    pred = np.asarray(out).reshape(-1, 68, 2)
-    gt = np.asarray(gt_lms).reshape(-1, 68, 2)
-    err = np.linalg.norm((pred - gt) * 512.0, axis=-1)  # [N, 68]
-    res = err if per_landmark else float(np.mean(err))
-    return (res, conf) if with_conf and arch == "v2" else res
+    """Package detect_lmd bound to this identity's trained detector files."""
+    return _lmd.detect_lmd(frames_u8, gt_lms, _detector_path(arch), arch=arch,
+                           per_landmark=per_landmark, with_conf=with_conf)
 
 
-def detect_lms(frames_u8, arch: str = "v2") -> "np.ndarray":
-    """Detector-predicted landmarks [N, 68, 2] in [0,1] for rendered frames
-    — feeds the sync-confidence instrument (metrics/sync_scorer.py)."""
-    import jax
-    import jax.numpy as jnp
-    import numpy as np
-    from flax import serialization
-
-    det = _detector_for(arch)
-    with open(_detector_path(arch), "rb") as f:
-        params = serialization.msgpack_restore(f.read())
-    X = jnp.asarray(np.stack([_to_det_input(f_) for f_ in frames_u8]))
-    return np.asarray(jax.jit(det.apply)(params, X)).reshape(-1, 68, 2)
+def detect_lms(frames_u8, arch: str = "v2"):
+    """Package detect_lms bound to this identity's trained detector files."""
+    return _lmd.detect_lms(frames_u8, _detector_path(arch), arch=arch)
 
 
 SYNC_SCORER = os.path.join(DATA_DIR, "sync_scorer.msgpack")
