@@ -453,7 +453,13 @@ def stage_eval_a2m(args):
         "eulers": np.asarray(ds_np["euler"])[s : s + L],
         "transs": np.asarray(ds_np["trans"])[s : s + L],
     }
-    inp = default_inp(blink_mode="period", temperature=0.0, lle_percent=0.2,
+    temp = float(getattr(args, "temperature", 0.0) or 0.0)
+    seed = getattr(args, "seed", None)
+    if seed is not None:
+        import jax as _jax
+
+        infer.rng = _jax.random.PRNGKey(int(seed))
+    inp = default_inp(blink_mode="period", temperature=temp, lle_percent=0.2,
                       mouth_amp=0.4)
     batch = infer.forward_audio2secc(batch, inp)
     frames = list(_drain(_dispatch_render(infer, batch, inp)))[:L]
@@ -472,7 +478,8 @@ def stage_eval_a2m(args):
     strict = [i for i in range(L) if (s + i) >= val_ids[0]]
     res = {"variant": args.variant, "frames": L,
            "frames_renderer_heldout": len(strict),
-           "held_out_start": s, "temperature": 0.0,
+           "held_out_start": s, "temperature": temp,
+           "seed": (int(seed) if seed is not None else None),
            "postnet": bool(postnet_dir),
            # headline = strict subset (renderer-held-out frames only), the
            # semantics every earlier round reported; the full-window mean
@@ -493,8 +500,67 @@ def stage_eval_a2m(args):
         res["clip"] = args.clip
     print(json.dumps(res))
     suffix = "_postnet" if postnet_dir else ""
+    tag = getattr(args, "tag", "") or ""
+    if tag:
+        suffix += f"_{tag}"
     with open(os.path.join(workdir("a2m"), f"quality_eval{suffix}.json"), "w") as f:
         json.dump(res, f, indent=2)
+    return res
+
+
+def stage_postnet_ab(args):
+    """Postnet A/B at the DEPLOYED temperature (VERDICT r4 item 4): grade
+    eval-a2m with and without the postnet refinement on >=3 sampling seeds
+    at temperature 0.2 (default_inp's deployed value — round-4 graded only
+    temperature 0, where the flow prior is deterministic and the postnet
+    measured as a no-op). Verdict: the postnet keeps its place in the
+    headline chain only if its mouth-LMD/sync delta exceeds the seed noise
+    (1 sigma across seeds)."""
+    import argparse as _ap
+
+    import numpy as np
+
+    seeds = [int(x) for x in args.seeds.split(",")]
+    runs = {"off": [], "on": []}
+    for postnet in (False, True):
+        for seed in seeds:
+            sub = _ap.Namespace(
+                variant=args.variant, clip="", frames=args.frames,
+                postnet=postnet, all_holdout=True, temperature=args.temperature,
+                seed=seed, tag=f"ab_t{args.temperature}_s{seed}")
+            res = stage_eval_a2m(sub)
+            runs["on" if postnet else "off"].append(res)
+            print(f"| postnet-ab postnet={postnet} seed={seed}: "
+                  f"mouth={res.get('val_lmd_mouth_px_512_v2')} "
+                  f"sync={res.get('sync_conf')}", flush=True)
+
+    keys = ["val_lmd_mouth_px_512_v2", "val_lmd_px_512_v2", "sync_conf",
+            "audio_driven_psnr_512"]
+    summary = {"temperature": args.temperature, "seeds": seeds}
+    for k in keys:
+        off = np.array([r[k] for r in runs["off"] if r.get(k) is not None], float)
+        on = np.array([r[k] for r in runs["on"] if r.get(k) is not None], float)
+        if len(off) == 0 or len(on) == 0:
+            continue
+        noise = float(max(off.std(), on.std()))
+        summary[k] = {
+            "off_mean": round(float(off.mean()), 3),
+            "on_mean": round(float(on.mean()), 3),
+            "delta": round(float(on.mean() - off.mean()), 3),
+            "seed_sigma": round(noise, 3),
+        }
+    mouth = summary.get("val_lmd_mouth_px_512_v2", {})
+    sync = summary.get("sync_conf", {})
+    effect = (abs(mouth.get("delta", 0.0)) > mouth.get("seed_sigma", 0.0)
+              or abs(sync.get("delta", 0.0)) > sync.get("seed_sigma", 0.0))
+    summary["verdict"] = (
+        "measurable effect beyond seed noise" if effect
+        else "no-op within seed noise -> demote from headline chain")
+    out = os.path.join(workdir("postnet"), "ab_results.json")
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    with open(out, "w") as f:
+        json.dump(summary, f, indent=2)
+    print(json.dumps(summary))
 
 
 def stage_measure(args):
@@ -594,6 +660,14 @@ def stage_lmd(args):
             _at128(bg512)]
     for j in rngp.choice(len(train), size=13, replace=False):
         pool.append(_at128(_bgtorso(train[j])))
+    # head-only-render context: the head field composited over a
+    # double-resampled GT torso background (what stage_eval's head-only
+    # clips actually look like) — 512 -> 256 -> 512 round-trip before the
+    # 128 detector input (VERDICT r4 weak #3)
+    for j in rngp.choice(len(train), size=6, replace=False):
+        bt = _bgtorso(train[j])
+        soft = cv2.resize(cv2.resize(bt, (256, 256)), (512, 512))
+        pool.append(_at128(soft))
     for _ in range(8):                                        # recolor/blur
         base = pool[rngp.randint(len(pool))]
         v = base * rngp.uniform(0.3, 1.4) + rngp.uniform(-0.2, 0.2, size=3)
@@ -634,6 +708,20 @@ def stage_lmd(args):
             xb = jax.vmap(lambda im, s: jnp.roll(im, s, axis=(0, 1)))(xb, sh)
             d = jnp.stack([sh[:, 1], sh[:, 0]], -1).astype(jnp.float32) / 128.0
             yb = (yb.reshape(len(xb), 68, 2) + d[:, None, :]).reshape(len(xb), -1)
+            # render-softness augmentation (round-5, VERDICT r4 weak #3):
+            # head-only clips are raw 256² renders — softer than the GT
+            # frames the detector trains on, which is what pushed the
+            # heatmaps off-distribution on ~20% of head-only frames. With
+            # p=0.35 the whole image round-trips through half resolution
+            # (labels unchanged: blur is shift-free), teaching the
+            # detector the render's frequency content, not just its
+            # context.
+            k6, k7 = jax.random.split(k5)
+            soft = jax.image.resize(
+                jax.image.resize(xb, (len(xb), 64, 64, 3), "linear"),
+                xb.shape, "linear")
+            usef = (jax.random.uniform(k6, (len(xb), 1, 1, 1)) < 0.35)
+            xb = jnp.where(usef, soft, xb)
 
         def loss_fn(p):
             pred = det.apply(p, xb)
@@ -1226,10 +1314,19 @@ def main():
     ea.add_argument("--clip", type=str, default="")
     ea.add_argument("--frames", type=int, default=0)
     ea.add_argument("--postnet", action="store_true")
+    ea.add_argument("--temperature", type=float, default=0.0)
+    ea.add_argument("--seed", type=int, default=None)
+    ea.add_argument("--tag", type=str, default="",
+                    help="suffix for the written quality_eval JSON")
     ea.add_argument("--all_holdout", action="store_true",
                     help="grade the full 64-frame a2m hold-out (audio unseen "
                          "by a2m); PSNR additionally reported on the strict "
                          "renderer-val subset")
+    pab = sub.add_parser("postnet-ab")
+    pab.add_argument("--variant", type=str, default="fourier")
+    pab.add_argument("--temperature", type=float, default=0.2)
+    pab.add_argument("--seeds", type=str, default="0,1,2")
+    pab.add_argument("--frames", type=int, default=0)
     ts_ = sub.add_parser("train-sync")
     ts_.add_argument("--iters", type=int, default=2000)
     ts_.add_argument("--tpu", action="store_true")
@@ -1268,7 +1365,8 @@ def main():
     {"gen": stage_gen, "measure": stage_measure, "train": stage_train,
      "train-torso": stage_train_torso, "train-a2m": stage_train_a2m,
      "train-postnet": stage_train_postnet, "train-sync": stage_train_sync,
-     "eval-a2m": stage_eval_a2m, "lmd": stage_lmd,
+     "eval-a2m": stage_eval_a2m, "postnet-ab": stage_postnet_ab,
+     "lmd": stage_lmd,
      "lmd-remeasure": stage_lmd_remeasure, "eval": stage_eval,
      "eval-torso": stage_eval_torso, "eval-curve": stage_eval_curve,
      "parity": stage_parity}[args.stage](args)
