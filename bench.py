@@ -244,7 +244,10 @@ def bench_trained(n_frames: int = 50):
     # production inference budget (pipeline.forward_secc2video defaults)
     opts = RenderOptions(num_coarse=48, num_samples=10, T_thresh=1e-2,
                          march_mode="interval", entry_mode="probe")
-    chunk = max(1, min(int(os.environ.get("BENCH_TRAINED_CHUNK", "10")), n_frames))
+    # default 8 = serving's frames_per_dispatch (serving.py:188) — the graph
+    # shape the production pipeline actually compiles and runs; 10 was
+    # close-but-not-identical and still tripped the fusion-optimizer crash
+    chunk = max(1, min(int(os.environ.get("BENCH_TRAINED_CHUNK", "8")), n_frames))
     n_frames = (n_frames // chunk) * chunk
     chunk_fn = infer._build_chunk_fn(opts, H, W, chunk,
                                      head_crop=infer.head_crop,

@@ -141,7 +141,18 @@ def main():
                for i in range(9)]
 
     fwd = jax.jit(loss_fn)
-    fwd_bwd = jax.jit(lambda p, b, o, n: jax.value_and_grad(loss_fn)(p, b, o, n)[0])
+
+    # the backward must survive dead-code elimination: returning only the
+    # loss lets XLA DELETE the whole gradient computation, which round 4
+    # measured as "bwd 1.8 ms / optimizer 48 ms" — the backward cost was
+    # hiding in the optimizer residual (VERDICT r4 weak #4). Reduce the
+    # grads to a scalar that feeds the output instead.
+    def _fb(p, b, o, n):
+        v, g_ = jax.value_and_grad(loss_fn)(p, b, o, n)
+        return v + 0.0 * jax.tree_util.tree_reduce(
+            lambda a, x: a + jnp.sum(x * x), g_, 0.0)
+
+    fwd_bwd = jax.jit(_fb)
     full = jax.jit(step, donate_argnums=())
 
     def step_sync(b):
@@ -154,6 +165,28 @@ def main():
     t_fb = _time(fwd_bwd, state.params, batch, occupancy, sync=float,
                  vary=lambda i: noises[i])
     t_full = _time(step_sync, vary=lambda i: batches[i])
+
+    # isolated optimizer update (VERDICT r4 item 9): the optax multi-group
+    # transform alone on realistic grads, varied to defeat the tunnel's
+    # dispatch memoization
+    import optax
+
+    def opt_only(params, opt_state, g_):
+        upd, new_opt = tx.update(g_, opt_state, params)
+        return optax.apply_updates(params, upd), new_opt
+
+    jopt = jax.jit(opt_only)
+    grads_proto = jax.grad(loss_fn)(state.params, batch, occupancy, noises[0])
+    gvars = [jax.tree.map(lambda x, i=i: x + 1e-6 * i, grads_proto)
+             for i in range(9)]
+
+    def opt_sync(p, s, g_):
+        newp, news = jopt(p, s, g_)
+        jax.block_until_ready(newp)
+        return newp
+
+    t_opt = _time(opt_sync, state.params, state.opt_state,
+                  vary=lambda i: gvars[i])
 
     # grid refresh (jitted, as head_task does every update_extra_interval)
     from genefaceplusplus_tpu.training.grid_updater import update_density_grid
@@ -191,7 +224,8 @@ def main():
         "device": dev.device_kind,
         "fwd_ms": round(t_fwd * 1e3, 1),
         "bwd_ms": round((t_fb - t_fwd) * 1e3, 1),
-        "optimizer_ms": round((t_full - t_fb) * 1e3, 1),
+        "optimizer_ms_residual": round((t_full - t_fb) * 1e3, 1),
+        "optimizer_ms_isolated": round(t_opt * 1e3, 1),
         "step_ms": round(t_full * 1e3, 1),
         "grid_refresh_ms": round(t_grid * 1e3, 1),
         "grid_amortized_ms_per_step": round(t_grid * 1e3 / 16, 2),
