@@ -103,14 +103,14 @@ def _build_task(variant: str, steps: int, tr, va):
     return task
 
 
-def _train_config(variant: str) -> dict:
+def _train_config(variant: str, n_frames: int = 450) -> dict:
     """Self-describing checkpoint config (the ckpt-dir-carries-config
     contract) so GeneFaceInfer can rebuild the model + find the dataset."""
     return {
         "task_cls": "head", "with_sr": True, "grid_type": variant,
         "binary_data_dir": DATA_DIR, "video_id": "synth512",
         "smo_win_size": 3, "cond_win_size": 1, "add_eye_blink_cond": True,
-        "grid_size": 128, "individual_embedding_num": 450,
+        "grid_size": 128, "individual_embedding_num": n_frames,
         "sr_dtype": "bfloat16",
     }
 
@@ -126,7 +126,8 @@ def stage_train(args):
     tr, va = _load_datasets()
     task = _build_task(args.variant, args.steps, tr, va)
     trainer = Trainer(
-        task, workdir(args.variant), config=Config(_train_config(args.variant)),
+        task, workdir(args.variant),
+        config=Config(_train_config(args.variant, len(tr) + len(va))),
         max_updates=args.steps,
         val_check_interval=args.val_interval,
         tb_log_interval=100,
