@@ -894,22 +894,50 @@ def _lmd_report(res: dict, renders, gts, lms):
     return res
 
 
+def _clip_start_frame(clip: str) -> int | None:
+    """Global start-frame id of a committed clip, recovered from the eval
+    JSON that produced it (stage_eval_a2m records held_out_start; the a2m
+    all-holdout window starts BEFORE the val split, so remeasuring it
+    against val-split GT would misalign by held_out_start - val_start)."""
+    import glob as _glob
+
+    base = os.path.basename(clip)
+    for j in sorted(_glob.glob(os.path.join(WORKROOT, "*", "quality_eval*.json"))):
+        try:
+            with open(j) as f:
+                d = json.load(f)
+        except Exception:
+            continue
+        if os.path.basename(str(d.get("clip", ""))) == base and "held_out_start" in d:
+            return int(d["held_out_start"])
+    return None
+
+
 def stage_lmd_remeasure(args):
-    """Re-measure LMD of a committed clip against val GT with every trained
-    detector — lets a sharper instrument re-grade existing artifacts
-    without re-rendering. Clips are written frame-aligned to the val split
-    as side-by-side GT | render panels (stage_eval/stage_eval_torso), so
-    the right half is the render under test and the left half doubles as a
-    compression-matched in-clip floor alongside the pristine dataset GT."""
+    """Re-measure LMD (and, when the instruments exist, sync confidence) of
+    a committed clip with every trained detector — lets a sharper instrument
+    re-grade existing artifacts without re-rendering. Clips are side-by-side
+    GT | render panels (stage_eval/stage_eval_torso/stage_eval_a2m); the
+    right half is the render under test and the left half doubles as a
+    compression-matched in-clip floor alongside the pristine dataset GT.
+
+    Frame alignment: val-split clips start at the val boundary; the a2m
+    all-holdout clip starts earlier (held_out_start, recovered from its
+    eval JSON or overridable with --start). GT frames/landmarks are indexed
+    from the GLOBAL train+val frame table so both cases grade correctly."""
     import cv2
     import jax
     import numpy as np
 
     jax.config.update("jax_platforms", "cpu")
     ds = np.load(DATA, allow_pickle=True).tolist()
-    val = ds["val_samples"]
-    gts = [np.asarray(s["gt_img"]) for s in val]
-    lms = [s["lms"] for s in val]
+    # global frame table ordered by id (train 0..n, val n..T)
+    table = {int(s["idx"]): s for s in ds["train_samples"] + ds["val_samples"]}
+    val_start = min(int(s["idx"]) for s in ds["val_samples"])
+    start = getattr(args, "start", None)
+    if start is None:
+        start = _clip_start_frame(args.clip)
+    start = val_start if start is None else int(start)
     cap = cv2.VideoCapture(args.clip)
     renders, clip_gts = [], []
     while True:
@@ -920,17 +948,36 @@ def stage_lmd_remeasure(args):
         half = f.shape[1] // 2
         clip_gts.append(f[:, :half])
         renders.append(f[:, half:])
-    n = min(len(renders), len(gts))
-    if len(renders) != len(gts):
-        print(f"| WARNING: clip has {len(renders)} frames, val split {len(gts)}; "
-              f"comparing first {n}")
-    res = _lmd_report({"clip": args.clip, "frames": n},
+    avail = max(0, max(table) + 1 - start)
+    n = min(len(renders), avail)
+    if len(renders) != n:
+        print(f"| WARNING: clip has {len(renders)} frames, {avail} GT frames "
+              f"from start={start}; comparing first {n}")
+    gts = [np.asarray(table[start + i]["gt_img"]) for i in range(n)]
+    lms = [table[start + i]["lms"] for i in range(n)]
+    res = _lmd_report({"clip": args.clip, "frames": n, "start_frame": start},
                       renders[:n], gts[:n], lms[:n])
     # compression-matched floor: same detectors on the clip's own GT half
     comp = _lmd_report({}, clip_gts[:n], gts[:n], lms[:n])
     for k, v in comp.items():
         if k.startswith("val_lmd"):
             res[k.replace("val_lmd", "clipgt_lmd")] = v
+    # sync confidence on the same window (needs the cached audio track +
+    # trained scorer). On a GT-DRIVEN clip this is the missing control for
+    # the a2m sync number: motion is perfect by construction, so the score
+    # isolates what detector-on-renders + render softness cost the
+    # instrument; the clip-GT half gives the pixel-perfect-motion reading
+    # under identical resize/compression.
+    if os.path.exists(A2M_AUDIO) and os.path.exists(SYNC_SCORER):
+        hub = np.load(A2M_AUDIO)["hubert"][2 * start: 2 * (start + n)]
+        res2 = _sync_report({}, renders[:n], hub, lms[:n])
+        res["sync_conf"] = res2.get("sync_conf")
+        res["sync_offset"] = res2.get("sync_offset")
+        res["sync_conf_gt_ceiling"] = res2.get("sync_conf_gt_ceiling")
+        res["sync_conf_shuffled_floor"] = res2.get("sync_conf_shuffled_floor")
+        gt_half = _sync_report({}, clip_gts[:n], hub, lms[:n])
+        res["sync_conf_clipgt"] = gt_half.get("sync_conf")
+        res["sync_offset_clipgt"] = gt_half.get("sync_offset")
     print(json.dumps(res))
 
 
@@ -1339,6 +1386,9 @@ def main():
                         "to never contend with in-flight TPU runs)")
     lr = sub.add_parser("lmd-remeasure")
     lr.add_argument("--clip", type=str, required=True)
+    lr.add_argument("--start", type=int, default=None,
+                    help="global start-frame id of the clip (default: "
+                         "recovered from its eval JSON, else val start)")
     ec = sub.add_parser("eval-curve")
     ec.add_argument("--variant", type=str, default="fourier")
     ec.add_argument("--every", type=int, default=1,
