@@ -268,23 +268,31 @@ def bench_trained(n_frames: int = 50):
     bg_color = jnp.asarray(np.asarray(ds.bg_img, np.float32).reshape(-1, 3))
     bg_coords = jnp.asarray(get_bg_coords(H, W)[0])
 
-    # reduce to one scalar ON DEVICE (jit-of-jit composes into one program):
-    # fetching the [C, 512, 512, 3] frame stack would time the tunnel
-    # downlink, not the chip — bench_full's methodology
-    @jax.jit
-    def run(cond_c, ro_c, rd_c, eye_c, lm_c):
-        imgs, _ = chunk_fn(infer.head_params, infer.torso_params,
-                           infer.sr_params, ro_c, rd_c, cond_c, eye_c,
-                           infer.occupancy, bg_color, bg_coords, lm_c)
-        return imgs.astype(jnp.float32).sum()
+    # reduce to one scalar ON DEVICE in a SEPARATE dispatch: fusing the
+    # f32 sum into the render program SIGILLs the XLA TPU fusion cost
+    # model (TpuPriorityFusionQueue::NormalizedComputationCost — round-4/5
+    # BENCH crash; optimization_barrier does NOT isolate it, bisected via
+    # /tmp/sigill_test.py: the bare production graph compiles in 72 s,
+    # any +reduction wrapper crashes). Two dispatches per chunk: the
+    # render graph is bit-identical to production (inference/serving.py),
+    # the standalone sum of a device-resident array is a trivial second
+    # program; the scalar fetch forces the render to complete. 2x RTT
+    # subtracted per chunk. Fetching the [C, 512, 512, 3] stack instead
+    # would time the tunnel downlink, not the chip — bench_full's
+    # methodology still holds.
+    reduce_fn = jax.jit(lambda x: x.astype(jnp.float32).sum())
 
     def sweep(dk):
         tot = 0.0
         for s in range(0, n_frames, chunk):
             sl = slice(s, s + chunk)
             t0 = time.perf_counter()
-            float(run(cond[sl] + dk, ro[sl], rd[sl], eye[sl], lm68[sl]))
-            tot += max(time.perf_counter() - t0 - _tunnel_rtt(), 0.0)
+            imgs, _ = chunk_fn(infer.head_params, infer.torso_params,
+                               infer.sr_params, ro[sl], rd[sl], cond[sl] + dk,
+                               eye[sl], infer.occupancy, bg_color, bg_coords,
+                               lm68[sl])
+            float(reduce_fn(imgs))
+            tot += max(time.perf_counter() - t0 - 2 * _tunnel_rtt(), 0.0)
         return tot
 
     sweep(0.0)  # compile (one graph: every chunk has the same shape)
