@@ -74,8 +74,17 @@ def _model_cfg(variant: str, n_frames: int):
 
     # GFPP_FIELD_ACT_DTYPE=bfloat16: evaluate/train with bf16 field
     # activations (the reference's fp16-AMP analogue; A/B knob)
+    # GFPP_FOURIER_POS_FEATURES / GFPP_FOURIER_POS_MAX_SCALE: field-capacity
+    # ablation knobs (round-5 plateau diagnosis — the surviving lever after
+    # 2x-data and encoder-family were ruled out). Mirrored into
+    # _train_config so the ckpt-dir-carries-config contract rebuilds the
+    # same model at eval time.
     return RADNeRFConfig(grid_type=variant, individual_embedding_num=n_frames,
                          add_eye_blink_cond=True,
+                         fourier_pos_features=int(os.environ.get(
+                             "GFPP_FOURIER_POS_FEATURES", "128")),
+                         fourier_pos_max_scale=float(os.environ.get(
+                             "GFPP_FOURIER_POS_MAX_SCALE", "128")),
                          field_act_dtype=os.environ.get(
                              "GFPP_FIELD_ACT_DTYPE", "float32"))
 
@@ -112,6 +121,10 @@ def _train_config(variant: str, n_frames: int = 450) -> dict:
         "smo_win_size": 3, "cond_win_size": 1, "add_eye_blink_cond": True,
         "grid_size": 128, "individual_embedding_num": n_frames,
         "sr_dtype": "bfloat16",
+        "fourier_pos_features": int(os.environ.get(
+            "GFPP_FOURIER_POS_FEATURES", "128")),
+        "fourier_pos_max_scale": float(os.environ.get(
+            "GFPP_FOURIER_POS_MAX_SCALE", "128")),
     }
 
 
