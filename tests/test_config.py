@@ -114,3 +114,25 @@ def test_override_type_coercion_fails_loudly():
     out = apply_overrides(dict(cfg), "name=7,lr=1e-3,flag=false")
     assert out["name"] == "7" or out["name"] == 7  # untyped strings stay lenient
     assert out["lr"] == 1e-3 and out["flag"] is False
+
+
+def test_fourier_capacity_roundtrip(tmp_path):
+    """The ckpt-dir-carries-config contract must rebuild a capacity-ablated
+    field (fourier_pos_features/max_scale != defaults) exactly — the
+    round-5 ablation legs depend on it (scripts/quality_production.py
+    GFPP_FOURIER_POS_FEATURES knob; defaults in models/radnerf.py)."""
+    from genefaceplusplus_tpu.models.radnerf import RADNeRFConfig
+
+    save_config({"grid_type": "fourier", "fourier_pos_features": 256,
+                 "fourier_pos_max_scale": 256.0,
+                 "individual_embedding_num": 7}, str(tmp_path))
+    hp = set_hparams(work_dir=str(tmp_path))
+    cfg = RADNeRFConfig.from_hparams(hp)
+    assert cfg.fourier_pos_features == 256
+    assert cfg.fourier_pos_max_scale == 256.0
+    assert cfg.individual_embedding_num == 7
+    # defaults stay defaults when the keys are absent
+    save_config({"grid_type": "fourier"}, str(tmp_path / "plain"))
+    cfg2 = RADNeRFConfig.from_hparams(set_hparams(work_dir=str(tmp_path / "plain")))
+    assert cfg2.fourier_pos_features == 128
+    assert cfg2.fourier_pos_max_scale == 128.0
