@@ -303,12 +303,19 @@ def _scan_fps(task, state, va, n_frames: int = 50, chunk: int = 10):
                           min_near=cfg.min_near, bg_color=bg, opts=v_opts)
         return carry, out.rgb_map.astype(jnp.bfloat16)
 
+    # Two dispatches per chunk (bench.py bench_trained): fusing a reduction
+    # into the scan render program can SIGILL the XLA TPU fusion cost model
+    # (TpuPriorityFusionQueue::NormalizedComputationCost — the round-4/5
+    # bench crash); render returns the device-resident frame stack, a
+    # standalone trivial sum forces completion. 2x RTT subtracted below.
     @jax.jit
     def run_chunk(params, occ, ro, rd, cond, eye, gid, bg):
         _, imgs = jax.lax.scan(
             lambda c, xs: one_frame(params, occ, c, xs), 0,
             (ro, rd, cond, eye, gid, bg))
-        return imgs.astype(jnp.float32).sum()  # tiny scalar through the tunnel
+        return imgs
+
+    reduce_fn = jax.jit(lambda x: x.astype(jnp.float32).sum())
 
     ros, rds, conds, eyes, gids, bgs = [], [], [], [], [], []
     for i in range(n_frames):
@@ -330,9 +337,10 @@ def _scan_fps(task, state, va, n_frames: int = 50, chunk: int = 10):
         for s in range(0, n_frames, chunk):
             sl = slice(s, s + chunk)
             t0 = time.time()
-            float(run_chunk(state.params, task.occupancy, ro[sl], rd[sl],
-                            cond[sl] + dk, eye[sl], gid[sl], bg[sl]))
-            tot += max(time.time() - t0 - _tunnel_rtt(), 0.0)
+            imgs = run_chunk(state.params, task.occupancy, ro[sl], rd[sl],
+                             cond[sl] + dk, eye[sl], gid[sl], bg[sl])
+            float(reduce_fn(imgs))
+            tot += max(time.time() - t0 - 2 * _tunnel_rtt(), 0.0)
         return tot
 
     sweep(0.0)  # compile
