@@ -528,13 +528,20 @@ class HeadNeRFTask:
                 rd = jnp.concatenate([rd, rd[-pad:]], axis=0)
                 bg = jnp.concatenate([bg, bg[-pad:]], axis=0)
             parts = []
+            beat = getattr(self, "_trainer_heartbeat", None)
             for s in range(0, n + pad, chunk):
-                beat = getattr(self, "_trainer_heartbeat", None)
-                if beat is not None:
-                    beat()  # long warm validations must not trip the stall watchdog
-                parts.append(self._jit_val_render(
+                part = self._jit_val_render(
                     params, ro[s:s + chunk], rd[s:s + chunk], cond, eye, gid,
-                    occ, bg[s:s + chunk]).rgb_map)
+                    occ, bg[s:s + chunk]).rgb_map
+                if beat is not None:
+                    # block per chunk so the beat tracks DEVICE progress:
+                    # jit dispatch is async, so beating at dispatch time
+                    # would fire every beat within milliseconds and leave
+                    # the whole render un-heartbeaten (stall watchdog would
+                    # still kill a long warm validation — advisor r4)
+                    part.block_until_ready()
+                    beat()
+                parts.append(part)
             return jnp.concatenate(parts, axis=0)[:n]
 
         self._val_render_rgb = _render_rgb

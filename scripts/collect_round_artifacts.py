@@ -117,6 +117,26 @@ def collect() -> dict:
         row = _last_json_line(os.path.join(WORKROOT, run, "metrics.jsonl"))
         if row is not None:
             out[f"final_metrics:{run}"] = row
+    # ablation legs train under SYNTH_WORKROOT=checkpoints/abl* — their
+    # decisive evidence is the full val-PSNR curve, not a 600-char log
+    # tail (round-5 capacity/2x-data plateau diagnosis)
+    for path in sorted(glob.glob(os.path.join(WORKROOT, "abl*",
+                                              "synth512_*", "metrics.jsonl"))):
+        leg = os.path.relpath(os.path.dirname(path), WORKROOT)
+        curve = []
+        try:
+            with open(path) as f:
+                for line in f:
+                    try:
+                        row = json.loads(line)
+                    except json.JSONDecodeError:
+                        continue
+                    if any(k.startswith("val") for k in row):
+                        curve.append(row)
+        except OSError:
+            continue
+        if curve:
+            out[f"ablation_curve:{leg}"] = curve
     return out
 
 

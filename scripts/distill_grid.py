@@ -288,7 +288,10 @@ def _scan_fps(task, state, va, n_frames: int = 50, chunk: int = 10):
 
     model, cfg = task.model, task.cfg
     v_opts = dataclasses.replace(task.opts, perturb=False)
+    chunk = max(1, min(chunk, len(va)))  # smoke-scale val splits < chunk
     n_frames = min(n_frames, len(va)) // chunk * chunk
+    if n_frames == 0:
+        return float("nan")
 
     def one_frame(params, occ, carry, xs):
         ro, rd, cond, eye, gid, bg = xs

@@ -156,12 +156,12 @@ def stage_train(args):
     print(f"| {args.variant} {args.steps} steps in {(time.time() - t0) / 60:.1f} min")
 
 
-def _torso_cfg(variant: str) -> dict:
+def _torso_cfg(variant: str, n_frames: int = 450) -> dict:
     return {
         "task_cls": "torso", "with_sr": True, "grid_type": variant,
         "binary_data_dir": DATA_DIR, "video_id": "synth512",
         "smo_win_size": 3, "cond_win_size": 1, "add_eye_blink_cond": True,
-        "grid_size": 128, "individual_embedding_num": 450,
+        "grid_size": 128, "individual_embedding_num": n_frames,
         "torso_individual_embedding_dim": 8, "torso_head_aware": True,
         "lr": 5e-4, "max_steps": 16,
         "lambda_weights_entropy": 1e-4, "lambda_torso_deform": 1e-3,
@@ -183,7 +183,7 @@ def stage_train_torso(args):
     from genefaceplusplus_tpu.training.trainer import Trainer
 
     tr, va = _load_datasets()
-    cfg = Config(_torso_cfg(args.variant))
+    cfg = Config(_torso_cfg(args.variant, len(tr) + len(va)))
     task = TorsoNeRFTask(tr, _model_cfg(args.variant, len(tr) + len(va)), cfg)
     task.opts = RenderOptions(max_steps=16, num_coarse=48, num_samples=16,
                               perturb=False)
@@ -565,11 +565,16 @@ def stage_postnet_ab(args):
         }
     mouth = summary.get("val_lmd_mouth_px_512_v2", {})
     sync = summary.get("sync_conf", {})
-    effect = (abs(mouth.get("delta", 0.0)) > mouth.get("seed_sigma", 0.0)
-              or abs(sync.get("delta", 0.0)) > sync.get("seed_sigma", 0.0))
-    summary["verdict"] = (
-        "measurable effect beyond seed noise" if effect
-        else "no-op within seed noise -> demote from headline chain")
+    if not mouth and not sync:
+        # detector/scorer msgpack absent -> zero measurements; a demote
+        # verdict on no data would be a silent lie
+        summary["verdict"] = "INSTRUMENTS MISSING — no verdict"
+    else:
+        effect = (abs(mouth.get("delta", 0.0)) > mouth.get("seed_sigma", 0.0)
+                  or abs(sync.get("delta", 0.0)) > sync.get("seed_sigma", 0.0))
+        summary["verdict"] = (
+            "measurable effect beyond seed noise" if effect
+            else "no-op within seed noise -> demote from headline chain")
     out = os.path.join(workdir("postnet"), "ab_results.json")
     os.makedirs(os.path.dirname(out), exist_ok=True)
     with open(out, "w") as f:
@@ -1167,7 +1172,9 @@ def stage_parity(args):
     for variant in args.variants.split(","):
         task = _build_task(variant, args.steps, tr, va)
         wd = os.path.join(WORKROOT, f"synth{args.size}_{variant}")
-        cfg = dict(_train_config(variant))
+        # n_frames must match _build_task's model (len(tr)+len(va)) — the
+        # saved ckpt config rebuilds the embedding table at restore time
+        cfg = dict(_train_config(variant, len(tr) + len(va)))
         cfg["video_id"] = f"synth{args.size}"
         trainer = Trainer(
             task, wd, config=Config(cfg), max_updates=args.steps,
@@ -1246,7 +1253,7 @@ def stage_eval_torso(args):
     from genefaceplusplus_tpu.utils.rays import get_bg_coords, pixel_rays
 
     tr, va = _load_datasets()
-    cfg = Config(_torso_cfg(args.variant))
+    cfg = Config(_torso_cfg(args.variant, len(tr) + len(va)))
     task = TorsoNeRFTask(tr, _model_cfg(args.variant, len(tr) + len(va)), cfg)
     task.opts = RenderOptions(max_steps=16, num_coarse=48, num_samples=16,
                               color_topk=args.color_topk,
