@@ -341,4 +341,9 @@ def test_pipeline_auto_compact_lossless_end_to_end(tmp_path):
         dataclasses.replace(opts, compact_frac=frac), H, H, C)
     a, _ = exact(*args)
     b, _ = compact(*args)
-    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+    # atol 1e-4: the compaction is algebraically lossless but the two
+    # graphs reassociate float32 reductions differently, and the persistent
+    # compile cache may have been AOT-compiled on a different x86 microarch
+    # (cpu_aot_loader feature-mismatch warning) — observed up to ~4e-5 on
+    # <0.1% of pixels; 1e-4 is still 40x below one 8-bit pixel step
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
