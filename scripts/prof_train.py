@@ -176,7 +176,11 @@ def main():
         return optax.apply_updates(params, upd), new_opt
 
     jopt = jax.jit(opt_only)
-    grads_proto = jax.grad(loss_fn)(state.params, batch, occupancy, noises[0])
+    # jitted: the eager grad materializes every un-fused intermediate of the
+    # 65536x16-sample backward in HBM and ResourceExhausts the chip
+    grads_proto = jax.jit(jax.grad(loss_fn))(state.params, batch, occupancy,
+                                             noises[0])
+    jax.block_until_ready(grads_proto)
     gvars = [jax.tree.map(lambda x, i=i: x + 1e-6 * i, grads_proto)
              for i in range(9)]
 
