@@ -29,6 +29,13 @@ RESULT_GLOBS = [
     ("eval_a2m", "synth512_a2m/quality_eval*.json"),
     ("distill", "distill_student_fourier/distill_eval.json"),
     ("parity128", "parity128_results.json"),
+    # round-5 capacity-carry flagship (256-feature fourier field @100k)
+    ("cap256_eval", "cap256_100k/synth512_fourier/quality_eval*.json"),
+    ("cap256_curve", "cap256_100k/synth512_fourier/quality_curve.json"),
+    ("cap256_eval_torso", "cap256_100k/synth512_fourier_torso/quality_eval*.json"),
+    ("cap256_eval_a2m", "cap256_100k/synth512_a2m/quality_eval*.json"),
+    # round-5 distill chain at the 512 production shape
+    ("distill512", "distill512/distill_student_fourier/distill_eval.json"),
 ]
 
 # stage logs whose LAST well-formed JSON line is the result (stages that
