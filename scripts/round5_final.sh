@@ -100,6 +100,9 @@ else
   run capevala2m 3600 python scripts/quality_production.py eval-a2m --all_holdout --clip docs/artifacts/cap256_a2m_drive.mp4
   run capcurve   3600 python scripts/quality_production.py eval-curve --variant fourier --frames 12
   unset SYNTH_WORKROOT GFPP_FOURIER_POS_FEATURES GFPP_FOURIER_POS_MAX_SCALE
+  # fps of the 256-feature flagship at the same trained-bench methodology:
+  # decides whether the default bench should point at the carry tree
+  run benchcap   2700 env BENCH_CKPT_HEAD=checkpoints/cap256_100k/synth512_fourier python bench.py
   collect_commit "capacity carry 100k + evals"
 fi
 
