@@ -50,7 +50,9 @@ collect_commit() {
 
 run proftrain2 2400 python scripts/prof_train.py
 run benchfinal 2700 python bench.py
-collect_commit "proftrain + final bench"
+# refresh the BASELINE north-star #2 row (wav->frames streaming latency/RTF)
+run latency    2400 python scripts/latency_e2e.py
+collect_commit "proftrain + final bench + latency"
 
 # ---- capacity carry -------------------------------------------------
 # winner selection: final val SR PSNR of the two 256-feature legs vs the
