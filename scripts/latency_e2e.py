@@ -15,10 +15,13 @@ rtf < 1 means faster than real time (generation keeps up with speech).
 """
 import json
 import os
+import sys
 import time
 
 import numpy as np
 import jax
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 jax.config.update("jax_compilation_cache_dir",
                   os.environ.get("JAX_CACHE_DIR", "/tmp/jax_bench_cache"))
